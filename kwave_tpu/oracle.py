@@ -351,6 +351,11 @@ def reconstruct(
     KSpaceFirstOrderSolver.cpp:1543-1775); this is the analytical inverse used by the wider
     k-Wave ecosystem and by our round-trip tests. Inputs are [Nc, N, H] fp32 planes.
     """
+    if frames_re.ndim != 3 or frames_re.shape[2] != basis.harmonics:
+        raise ValueError(
+            f"reconstruct expects oracle-layout frames [Nc, N, H={basis.harmonics}], got "
+            f"{frames_re.shape}; transpose device-layout [Nc, H, N] frames first"
+        )
     n_c = frames_re.shape[0]
     n_sens = frames_re.shape[1]
     o = basis.o_size

@@ -1,0 +1,84 @@
+"""Real-TPU bit-exactness validation: the BASELINE.json acceptance gate.
+
+Runs the exact-path encoder on the TPU backend and compares every emitted frame bit-for-bit
+against the NumPy oracle (which carries the reference C++ semantics: fp32 MACs with separate
+rounding, per-step 40-bit requantization). XLA:TPU performs no fp32 FMA contraction, so the
+device path must match exactly; XLA:CPU contracts mul+add into FMA at LLVM level (not
+disableable), which is why this check runs on TPU, not in the CPU test suite (the CPU suite
+pins the state machine with dyadic-exact data instead — see tests/test_jax_codec.py).
+
+Usage: python tools/validate_tpu.py   (from the repo root; uses jax.devices() as configured)
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+from kwave_tpu import encoder, oracle  # noqa: E402
+from kwave_tpu.basis import generate_basis  # noqa: E402
+
+
+def _series(steps, n, period, seed=0, scale=1e5):
+    rng = np.random.default_rng(seed)
+    amp = rng.uniform(0.5, 2.0, n) * scale
+    ph = rng.uniform(0, 2 * np.pi, n)
+    t = np.arange(steps)[:, None]
+    base = amp[None] * np.sin(2 * np.pi * t / period + ph[None])
+    return (base + rng.normal(0, 0.01 * scale, (steps, n))).astype(np.float32)
+
+
+def check(name, series, basis, shifted=False, mode40=False, overlap=True):
+    enc = oracle.OracleEncoder(
+        basis, series.shape[1], shifted=shifted, mode40=mode40, overlap=overlap,
+        total_steps=series.shape[0],
+    )
+    frames_o = enc.encode_series(series)
+    frames_j, _ = encoder.encode_series_exact(
+        series, basis, shifted=shifted, mode40=mode40, overlap=overlap
+    )
+    n_mismatch = 0
+    for c, fo in enumerate(frames_o):
+        for k, plane_o in enumerate(fo):
+            plane_j = np.asarray(frames_j[k][c]).T
+            if mode40:
+                plane_j = plane_j.astype(plane_o.dtype)
+                eq = np.array_equal(plane_j, plane_o)
+            else:
+                eq = np.array_equal(plane_j.view(np.uint32), plane_o.view(np.uint32))
+            if not eq:
+                n_mismatch += 1
+    status = "BIT-EXACT" if n_mismatch == 0 else f"MISMATCH ({n_mismatch} planes)"
+    print(f"  {name:55s} {len(frames_o):3d} frames  {status}")
+    return n_mismatch == 0
+
+
+def main():
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    ok = True
+    period = 13.4
+    for harmonics in (1, 4):
+        basis = generate_basis(period, 1, harmonics)
+        s = _series(12 * basis.o_size + 5, 64, period, seed=harmonics)
+        sv = _series(12 * basis.o_size + 5, 64, period, seed=harmonics + 10, scale=2.0)
+        ok &= check(f"float overlap p   H={harmonics}", s, basis)
+        ok &= check(f"float overlap u-shifted H={harmonics}", sv, basis, shifted=True)
+        ok &= check(f"float no-overlap  H={harmonics}", s, basis, overlap=False)
+        ok &= check(f"40bit overlap p   H={harmonics}", s, basis, mode40=True)
+        ok &= check(f"40bit overlap u-shifted H={harmonics}", sv, basis, shifted=True,
+                    mode40=True)
+        ok &= check(f"40bit no-overlap  H={harmonics}", s, basis, mode40=True, overlap=False)
+    # Tiny record (lastStep edge)
+    basis = generate_basis(20.0, 1, 1)
+    tiny = _series(basis.o_size - 3, 16, 20.0, seed=99)
+    ok &= check("tiny record lastStep", tiny, basis)
+    ok &= check("tiny record lastStep 40bit", tiny, basis, mode40=True)
+    print("RESULT:", "PASS — TPU path is bit-exact vs reference oracle" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
