@@ -1,0 +1,140 @@
+"""Decoder: coefficient unpacking, basis-synthesis reconstruction, coefficient-space intensity.
+
+TPU-native consumers of the compressed coefficient streams:
+
+- `decode_frames_40b`: packed SoA planes -> fp32 complex planes (pure integer unpack,
+  backend-exact; semantics of `CompressHelper::convert40bToFloatC`,
+  Compression/CompressHelper.cpp:224-284).
+- `reconstruct`: inverse of the windowed projection — overlap-add synthesis with the
+  triangular window, formulated as one MXU einsum over all frames at once. The C++ reference
+  never reconstructs the time series (it consumes coefficients directly); this is the
+  analytical inverse used by the round-trip acceptance gate.
+- `avg_intensity_frames` / `avg_intensity_update`: time-averaged acoustic intensity straight
+  from coefficient space, `I = mean_c sum_h Re(cP * conj(cU)) / 2` — the semantics of
+  `IndexOutputStream::postSample` (OutputStreams/IndexOutputStream.cpp:299-342: one
+  accumulation per completed frame) and `postProcess` (:482-490: divide by frame count), and
+  of the post-hoc `computeAverageIntensitiesC` (KSpaceSolver/KSpaceFirstOrderSolver.cpp:1543-1775).
+
+Device layout convention: coefficient frames are ``[..., H, N]`` (harmonics, sensor points);
+basis tables time-major ``[2o, H]`` as produced by `kwave_tpu.encoder.make_tables`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from kwave_tpu import bitpack
+from kwave_tpu.basis import MAX_EXP_P, MAX_EXP_U, CompressionBasis
+
+
+def decode_frames_40b(hdr: jax.Array, mr: jax.Array, mi: jax.Array, e: int):
+    """Unpack 40-bit SoA coefficient planes ``[..., H, N]`` -> fp32 (re, im)."""
+    return bitpack.decode40(hdr, mr, mi, e)
+
+
+@functools.partial(jax.jit, static_argnames=("o_size", "n_steps", "normalized"))
+def reconstruct(
+    f_re: jax.Array,
+    f_im: jax.Array,
+    be_re: jax.Array,
+    be_im: jax.Array,
+    o_size: int,
+    n_steps: int,
+    normalized: bool = True,
+):
+    """Overlap-add synthesis of the time series from coefficient frames.
+
+    Frame ``c`` is the windowed projection over the window starting at ``(c-1)*o``; writing
+    ``t = k*o + r`` the two frames covering ``t`` are ``c = k`` (window offset ``r + o``) and
+    ``c = k+1`` (offset ``r``), so
+
+        x[k*o + r] = scale * sum_h ( C_re[k,h]*bE_re[r+o,h] + C_im[k,h]*bE_im[r+o,h]
+                                   + C_re[k+1,h]*bE_re[r,h] + C_im[k+1,h]*bE_im[r,h] )
+
+    (``Re(C * conj(e^{-iwu})) = C_re*cos + C_im*(-sin)`` — the tables already hold
+    ``e^{-iw u}``). Both terms are one batched matmul ``[K,H,N] x [o,H] -> [K,o,N]`` on the MXU.
+    ``scale = o/2`` undoes the production-mode 2/oSize normalization
+    (Parameters/Parameters.cpp:549-551).
+
+    Args:
+      f_re, f_im: coefficient frames ``[Nc, H, N]``.
+      be_re, be_im: time-major basis tables ``[2o, H]`` (plain or shifted to match the stream).
+      o_size: window half-length o.
+      n_steps: number of output timesteps (t >= Nc*o is outside full coverage and clamped off).
+
+    Returns:
+      ``x[n_steps, N]`` fp32.
+    """
+    n_c = f_re.shape[0]
+    o = o_size
+    k_max = (n_steps + o - 1) // o
+    # Contribution of frame k at offsets r+o (late half) and of frame k+1 at offsets r (early).
+    late = jnp.einsum("khn,rh->krn", f_re, be_re[o:]) + jnp.einsum(
+        "khn,rh->krn", f_im, be_im[o:]
+    )
+    early = jnp.einsum("khn,rh->krn", f_re, be_re[:o]) + jnp.einsum(
+        "khn,rh->krn", f_im, be_im[:o]
+    )
+    # x[k, r] = late[k, r] + early[k+1, r]; pad the frame axis to k_max.
+    pad_to = max(k_max, n_c) + 1
+    late_p = jnp.pad(late, ((0, pad_to - n_c), (0, 0), (0, 0)))
+    early_p = jnp.pad(early, ((0, pad_to - n_c), (0, 0), (0, 0)))
+    x = late_p[:k_max] + early_p[1 : k_max + 1]
+    x = x.reshape(k_max * o, -1)[:n_steps]
+    scale = jnp.float32(o / 2.0) if normalized else jnp.float32(1.0)
+    return x * scale
+
+
+def reconstruct_series(frames_re, frames_im, basis: CompressionBasis, shifted: bool,
+                       n_steps: int):
+    """Convenience wrapper: frames ``[Nc, H, N]`` + CompressionBasis -> ``x[n_steps, N]``."""
+    be_re, be_im, _, _ = basis.tables(shifted)
+    n = 2 * basis.o_size
+    return reconstruct(
+        jnp.asarray(frames_re),
+        jnp.asarray(frames_im),
+        jnp.asarray(be_re[:, :n].T),
+        jnp.asarray(be_im[:, :n].T),
+        basis.o_size,
+        n_steps,
+        basis.normalized,
+    )
+
+
+def avg_intensity_update(acc, cp_re, cp_im, cu_re, cu_im):
+    """One per-frame accumulation: ``acc[i] += sum_h Re(cP * conj(cU)) / 2``.
+
+    Inputs are one frame's coefficient planes ``[H, N]``; acc is ``[N]``. Matches the scalar
+    loop of IndexOutputStream::postSample (IndexOutputStream.cpp:315-341):
+    ``Re(P * conj(U)) = pRe*uRe + pIm*uIm``, halved, summed over harmonics.
+    """
+    return acc + jnp.sum(cp_re * cu_re + cp_im * cu_im, axis=0) * jnp.float32(0.5)
+
+
+@jax.jit
+def avg_intensity_frames(cp_re, cp_im, cu_re, cu_im):
+    """Batch form over all frames ``[Nc, H, N]`` -> time-averaged intensity ``[N]``.
+
+    Equivalent to Nc `avg_intensity_update` calls followed by the postProcess divide
+    (IndexOutputStream.cpp:485-489) / computeAverageIntensitiesC's per-step mean
+    (KSpaceFirstOrderSolver.cpp:1738-1764).
+    """
+    n_c = cp_re.shape[0]
+    total = jnp.sum(cp_re * cu_re + cp_im * cu_im, axis=(0, 1)) * jnp.float32(0.5)
+    return total / jnp.float32(n_c)
+
+
+def avg_intensity_40b(p_planes, u_planes, e_p: int = MAX_EXP_P, e_u: int = MAX_EXP_U):
+    """40-bit variant: unpack both packed streams then `avg_intensity_frames`.
+
+    (The reference's post-hoc path does not support 40-bit —
+    KSpaceFirstOrderSolver.cpp:1541 note — but its on-the-fly path does,
+    IndexOutputStream.cpp:324-330; this covers both.)
+    """
+    cp = bitpack.decode40(*p_planes, e_p)
+    cu = bitpack.decode40(*u_planes, e_u)
+    return avg_intensity_frames(cp[0], cp[1], cu[0], cu[1])
