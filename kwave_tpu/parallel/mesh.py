@@ -1,0 +1,79 @@
+"""Mesh + sharding rules for solver fields and codec streams.
+
+Design (DESIGN.md / SURVEY.md §2.9 table):
+
+- 1-axis mesh ``('space',)`` for single-host multi-chip: solver fields [nz, ny, nx] are
+  sharded over z (the leading, non-FFT-reduced axis); codec sensor blocks are sharded over
+  the same devices (the codec's sensor axis is embarrassingly parallel,
+  SURVEY.md §5 long-context note).
+- Basis tables / per-axis operator vectors / scalars are replicated.
+- Multi-host pods extend the same names over a ``('hosts', 'space')`` mesh; collectives on
+  'space' ride ICI.
+
+Everything here works identically on the 8-device virtual CPU mesh used in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kwave_tpu.solver.operators import Operators
+from kwave_tpu.solver.step import SimState
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "space") -> Mesh:
+    """1-axis device mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def field_sharding(mesh: Mesh, ndim: int, axis: str = "space") -> NamedSharding:
+    """Shard the leading (z in 3D, y in 2D) axis of a field array."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def codec_sharding(mesh: Mesh, ndim: int, axis: str = "space") -> NamedSharding:
+    """Codec arrays are [..., H, N] (or [o, N] chunks): shard the trailing sensor axis."""
+    return NamedSharding(mesh, P(*([None] * (ndim - 1)), axis))
+
+
+def shard_state(state: SimState, mesh: Mesh, axis: str = "space") -> SimState:
+    """Place all fields with the leading axis sharded."""
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.device_put(x, field_sharding(mesh, np.ndim(x), axis))
+
+    return jax.tree_util.tree_map(put, state)
+
+
+def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "space"
+                    ) -> Operators:
+    """Full-grid operators (kappa, nablas, source_kappa, heterogeneous media) follow the
+    field sharding; per-axis vectors and scalars replicate."""
+    repl = replicated(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        if np.ndim(x) == grid_ndim:  # full-grid (spectral arrays share the leading axes)
+            return jax.device_put(x, field_sharding(mesh, grid_ndim, axis))
+        return jax.device_put(x, repl)
+
+    d = {}
+    for f in dataclasses.fields(ops):
+        v = getattr(ops, f.name)
+        d[f.name] = v if f.name == "dt" else put(v)
+    return Operators(**d)

@@ -1,0 +1,349 @@
+"""The k-space first-order timestep as a pure jittable function + lax.scan main loop.
+
+One `step` call reproduces one iteration of the reference main loop
+(KSpaceFirstOrderSolver::computeMainLoop, KSpaceSolver/KSpaceFirstOrderSolver.cpp:864-943):
+
+  velocity update -> velocity source -> transducer source -> velocity gradient ->
+  density update (linear|nonlinear) -> pressure source -> pressure update
+  (lossless|absorbing x linear|nonlinear) -> [t==0: initial pressure source].
+
+All spectral work is jnp.fft rfftn/irfftn (XLA-planned; the reference's cuFFT plan cache,
+MatrixClasses/CufftComplexMatrix.cpp, has no equivalent state here). Elementwise updates are
+plain jnp expressions — XLA fuses them into the FFT pipeline, replacing the reference's 31
+hand-written CUDA kernels (SolverCudaKernels.cu).
+
+Heterogeneous vs homogeneous media need no code forks (the reference template-instantiates
+per-case kernels, e.g. SolverCudaKernels.cu:1356-1566): scalar operators are 0-d arrays and
+broadcast.
+
+Fields are fp32 ``[nz, ny, nx]`` (``[ny, nx]`` in 2D), x fastest. The scan carries the
+7-field state the reference checkpoints (MatrixContainer.cpp:29-42: p, rhoX/Y/Z, uxSgx/
+uySgy/uzSgz).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from kwave_tpu.solver.operators import Grid, Operators
+
+
+# Source modes (Parameters.h:73-81).
+DIRICHLET = 0
+ADDITIVE_NO_CORRECTION = 1
+ADDITIVE = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SimState:
+    """The time-marched fields (the 7 checkpointed matrices, MatrixContainer.cpp:29-42)."""
+
+    p: jax.Array
+    ux_sgx: jax.Array
+    uy_sgy: jax.Array
+    uz_sgz: Optional[jax.Array]
+    rho_x: jax.Array
+    rho_y: jax.Array
+    rho_z: Optional[jax.Array]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Sources:
+    """Source terms; any member may be None (flags live in SolverConfig, jit-static).
+
+    Signals are ``[T]`` (many=False) or ``[n_idx, T]`` (many=True — per-point series,
+    u_source_many/p_source_many flags, main.cpp file-format table). Indices are 0-based flat
+    indices into the x-fastest flattened grid (the reference rebases MATLAB 1-based masks at
+    load, MatrixClasses/IndexMatrix.h:115-117).
+    """
+
+    p0: Optional[jax.Array] = None  # initial pressure [grid]
+    p_index: Optional[jax.Array] = None  # [n]
+    p_signal: Optional[jax.Array] = None  # [T] or [n, T]
+    u_index: Optional[jax.Array] = None
+    ux_signal: Optional[jax.Array] = None
+    uy_signal: Optional[jax.Array] = None
+    uz_signal: Optional[jax.Array] = None
+    transducer_index: Optional[jax.Array] = None  # [n]
+    transducer_signal: Optional[jax.Array] = None  # [T_sig]
+    delay_mask: Optional[jax.Array] = None  # [n] per-element delays
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static (trace-time) solver switches — the reference's Parameters flag surface
+    (Parameters/Parameters.h; CommandLineParameters.cpp)."""
+
+    nonlinear: bool = False
+    absorbing: bool = False
+    p0_source_flag: bool = False
+    p_source_flag: int = 0  # #steps the source is active (0 = off)
+    p_source_mode: int = DIRICHLET
+    p_source_many: bool = False
+    u_source_flag: int = 0
+    u_source_mode: int = DIRICHLET
+    u_source_many: bool = False
+    transducer_source_flag: int = 0
+    sampling_start_index: int = 0  # -s flag (1-based in CLI; 0-based here)
+
+
+def init_state(grid: Grid) -> SimState:
+    """All-zero fields (the reference zeroes device matrices at allocation)."""
+    z = jnp.zeros(grid.shape, jnp.float32)
+    is3d = grid.dim == 3
+    return SimState(
+        p=z,
+        ux_sgx=z,
+        uy_sgy=z,
+        uz_sgz=z if is3d else None,
+        rho_x=z,
+        rho_y=z,
+        rho_z=z if is3d else None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectral helpers
+# ---------------------------------------------------------------------------
+
+
+def _bc(vec: jax.Array, axis_from_end: int, ndim: int) -> jax.Array:
+    """Reshape a per-axis operator vector for broadcasting over an ndim-D array."""
+    shape = [1] * ndim
+    shape[ndim - 1 - axis_from_end] = vec.shape[0]
+    return vec.reshape(shape)
+
+
+def _grad_fields(field: jax.Array, ops: Operators, ddx, ddy, ddz, shape):
+    """ifftn(dd*_k_shift * kappa * fftn(field)) for each axis — the shared pattern of
+    computePressureGradient (SolverCudaKernels.cu:1139-1199) and computeVelocityGradient
+    (:1210-1343), fused with the surrounding FFTs (KSpaceFirstOrderSolver.cpp:2087-2150)."""
+    ndim = field.ndim
+    fk = jnp.fft.rfftn(field)
+    fk = fk * ops.kappa
+    gx = jnp.fft.irfftn(fk * _bc(ddx, 0, ndim), s=shape)
+    gy = jnp.fft.irfftn(fk * _bc(ddy, 1, ndim), s=shape)
+    gz = jnp.fft.irfftn(fk * _bc(ddz, 2, ndim), s=shape) if ddz is not None else None
+    return gx, gy, gz
+
+
+def _source_value(signal: jax.Array, t, many: bool, n: int) -> jax.Array:
+    """Signal sample(s) at timestep t: scalar broadcast or per-point column."""
+    if many:
+        return lax.dynamic_index_in_dim(signal, t, axis=1, keepdims=False)  # [n]
+    return jnp.broadcast_to(lax.dynamic_index_in_dim(signal, t, keepdims=False), (n,))
+
+
+def _apply_point_source(field, index, value, mode: int):
+    """Dirichlet replaces, additive modes add (SolverCudaKernels addPressureSource /
+    addVelocitySource kernels; mode semantics Parameters.h:73-81)."""
+    flat = field.reshape(-1)
+    if mode == DIRICHLET:
+        flat = flat.at[index].set(value)
+    else:
+        flat = flat.at[index].add(value)
+    return flat.reshape(field.shape)
+
+
+def _scale_additive_source(index, value, ops: Operators, shape):
+    """Additive-mode source dispersion correction: scatter to the full grid, multiply by
+    source_kappa in k-space, inverse transform (KSpaceFirstOrderSolver::scaleSource,
+    KSpaceFirstOrderSolver.cpp:2339-2354)."""
+    scaled = jnp.zeros(shape, jnp.float32).reshape(-1).at[index].set(value).reshape(shape)
+    sk = jnp.fft.rfftn(scaled) * ops.source_kappa
+    return jnp.fft.irfftn(sk, s=shape)
+
+
+# ---------------------------------------------------------------------------
+# The timestep
+# ---------------------------------------------------------------------------
+
+
+def step(
+    state: SimState,
+    t: jax.Array,
+    ops: Operators,
+    src: Sources,
+    cfg: SolverConfig,
+) -> SimState:
+    """One main-loop iteration (computeMainLoop body, KSpaceFirstOrderSolver.cpp:885-935)."""
+    is3d = state.uz_sgz is not None
+    shape = state.p.shape
+    ndim = state.p.ndim
+    n_el = state.p.size
+
+    # -- velocity update (computeVelocity :2087-2119; kernel SolverCudaKernels.cu:184-216):
+    # u = pml_sg * (pml_sg * u - dt/rho0_sg * ifft(ddk_pos * kappa * fft(p)))
+    dpx, dpy, dpz = _grad_fields(state.p, ops, ops.ddx_pos, ops.ddy_pos, ops.ddz_pos, shape)
+    pml_x_sg = _bc(ops.pml_x_sgx, 0, ndim)
+    pml_y_sg = _bc(ops.pml_y_sgy, 1, ndim)
+    ux = (state.ux_sgx * pml_x_sg - ops.dt_rho0_sgx * dpx) * pml_x_sg
+    uy = (state.uy_sgy * pml_y_sg - ops.dt_rho0_sgy * dpy) * pml_y_sg
+    if is3d:
+        pml_z_sg = _bc(ops.pml_z_sgz, 2, ndim)
+        uz = (state.uz_sgz * pml_z_sg - ops.dt_rho0_sgz * dpz) * pml_z_sg
+    else:
+        uz = None
+
+    # -- velocity source (addVelocitySource :2252-2303)
+    if cfg.u_source_flag > 0:
+        def add_u(u, signal):
+            val = _source_value(signal, t, cfg.u_source_many, src.u_index.shape[0])
+            if cfg.u_source_mode == ADDITIVE:
+                return u + _scale_additive_source(src.u_index, val, ops, shape)
+            return _apply_point_source(u, src.u_index, val, cfg.u_source_mode)
+
+        active = t < cfg.u_source_flag
+        if src.ux_signal is not None:
+            ux = jnp.where(active, add_u(ux, src.ux_signal), ux)
+        if src.uy_signal is not None:
+            uy = jnp.where(active, add_u(uy, src.uy_signal), uy)
+        if is3d and src.uz_signal is not None:
+            uz = jnp.where(active, add_u(uz, src.uz_signal), uz)
+
+    # -- transducer source (addTransducerSource kernel; delay mask per element)
+    if cfg.transducer_source_flag > 0:
+        sig_at = src.transducer_signal[src.delay_mask + t]
+        ux = jnp.where(
+            t < cfg.transducer_source_flag,
+            _apply_point_source(ux, src.transducer_index, sig_at, ADDITIVE_NO_CORRECTION),
+            ux,
+        )
+
+    # -- velocity gradient (computeVelocityGradient :2126-2150): per-axis
+    # duxdx = ifft(ddx_neg * kappa * fft(ux)) etc.
+    kap = ops.kappa
+    duxdx = jnp.fft.irfftn(jnp.fft.rfftn(ux) * kap * _bc(ops.ddx_neg, 0, ndim), s=shape)
+    duydy = jnp.fft.irfftn(jnp.fft.rfftn(uy) * kap * _bc(ops.ddy_neg, 1, ndim), s=shape)
+    if is3d:
+        duzdz = jnp.fft.irfftn(
+            jnp.fft.rfftn(uz) * kap * _bc(ops.ddz_neg, 2, ndim), s=shape
+        )
+
+    # -- density update (computeDensityNonliner/Linear :2157-2173; kernels :1358/:1470)
+    pml_x = _bc(ops.pml_x, 0, ndim)
+    pml_y = _bc(ops.pml_y, 1, ndim)
+    pml_z = _bc(ops.pml_z, 2, ndim) if is3d else None
+    dt_f = jnp.float32(ops.dt)
+    if cfg.nonlinear:
+        rho_sum_old = state.rho_x + state.rho_y + (state.rho_z if is3d else 0.0)
+        rho0_plus = 2.0 * rho_sum_old + ops.rho0
+        rx = pml_x * (pml_x * state.rho_x - dt_f * rho0_plus * duxdx)
+        ry = pml_y * (pml_y * state.rho_y - dt_f * rho0_plus * duydy)
+        rz = pml_z * (pml_z * state.rho_z - dt_f * rho0_plus * duzdz) if is3d else None
+    else:
+        rx = pml_x * (pml_x * state.rho_x - dt_f * ops.rho0 * duxdx)
+        ry = pml_y * (pml_y * state.rho_y - dt_f * ops.rho0 * duydy)
+        rz = pml_z * (pml_z * state.rho_z - dt_f * ops.rho0 * duzdz) if is3d else None
+
+    # -- pressure source (addPressureSource :2310-2333): applied to the split densities
+    if cfg.p_source_flag > 0:
+        val = _source_value(src.p_signal, t, cfg.p_source_many, src.p_index.shape[0])
+        active = t < cfg.p_source_flag
+        if cfg.p_source_mode == ADDITIVE:
+            scaled = _scale_additive_source(src.p_index, val, ops, shape)
+            rx = jnp.where(active, rx + scaled, rx)
+            ry = jnp.where(active, ry + scaled, ry)
+            if is3d:
+                rz = jnp.where(active, rz + scaled, rz)
+        else:
+            rx2 = _apply_point_source(rx, src.p_index, val, cfg.p_source_mode)
+            ry2 = _apply_point_source(ry, src.p_index, val, cfg.p_source_mode)
+            rx = jnp.where(active, rx2, rx)
+            ry = jnp.where(active, ry2, ry)
+            if is3d:
+                rz = jnp.where(
+                    active, _apply_point_source(rz, src.p_index, val, cfg.p_source_mode), rz
+                )
+
+    # -- pressure update (computePressureNonlinear/Linear :2180-2245)
+    rho_sum = rx + ry + (rz if is3d else 0.0)
+    du_sum = duxdx + duydy + (duzdz if is3d else 0.0)
+    if cfg.absorbing:
+        vel_grad_sum = ops.rho0 * du_sum
+        tau_term = jnp.fft.irfftn(
+            jnp.fft.rfftn(vel_grad_sum) * ops.absorb_nabla1, s=shape
+        )
+        eta_term = jnp.fft.irfftn(jnp.fft.rfftn(rho_sum) * ops.absorb_nabla2, s=shape)
+        if cfg.nonlinear:
+            nonlin = (ops.bona * rho_sum * rho_sum) / (2.0 * ops.rho0) + rho_sum
+            p = ops.c2 * (nonlin + ops.absorb_tau * tau_term - ops.absorb_eta * eta_term)
+        else:
+            p = ops.c2 * (rho_sum + ops.absorb_tau * tau_term - ops.absorb_eta * eta_term)
+    else:
+        if cfg.nonlinear:
+            p = ops.c2 * (rho_sum + ops.bona * rho_sum * rho_sum / (2.0 * ops.rho0))
+        else:
+            p = ops.c2 * rho_sum
+
+    new = SimState(p=p, ux_sgx=ux, uy_sgy=uy, uz_sgz=uz, rho_x=rx, rho_y=ry, rho_z=rz)
+
+    # -- initial pressure at t==0 (addInitialPressureSource :2359-2400)
+    if cfg.p0_source_flag:
+        new = lax.cond(
+            t == 0, lambda s: add_initial_pressure(s, ops, src.p0), lambda s: s, new
+        )
+    return new
+
+
+def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array) -> SimState:
+    """p = p0; rho_i = p0/(dim*c^2); u_sg = 0.5 * dt/rho0_sg * ifft(ddk_pos*kappa*fft(p0))
+    (addInitialPressureSource, KSpaceFirstOrderSolver.cpp:2359-2400; kernels
+    SolverCudaKernels.cu:854-935 and the 0.5*fftDivider*dtRho0 initial-velocity kernels)."""
+    is3d = state.uz_sgz is not None
+    shape = p0.shape
+    dim = 3 if is3d else 2
+    rho_part = p0 / (jnp.float32(dim) * ops.c2)
+    gx, gy, gz = _grad_fields(p0, ops, ops.ddx_pos, ops.ddy_pos, ops.ddz_pos, shape)
+    half = jnp.float32(0.5)
+    return SimState(
+        p=p0,
+        ux_sgx=half * ops.dt_rho0_sgx * gx,
+        uy_sgy=half * ops.dt_rho0_sgy * gy,
+        uz_sgz=half * ops.dt_rho0_sgz * gz if is3d else None,
+        rho_x=rho_part,
+        rho_y=rho_part,
+        rho_z=rho_part if is3d else None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Main loop
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "sample_fn", "t0"))
+def simulate(
+    state: SimState,
+    ops: Operators,
+    src: Sources,
+    cfg: SolverConfig,
+    n_steps: int,
+    sample_fn: Optional[Callable[[SimState], Any]] = None,
+    t0: int = 0,
+):
+    """Run ``n_steps`` iterations from time index ``t0`` via lax.scan.
+
+    ``sample_fn(state)`` is evaluated every step; its stacked outputs are returned (None
+    entries before sampling_start are zero-filled — the reference simply skips storage,
+    KSpaceFirstOrderSolver.cpp:1060-1068; callers slice ``[cfg.sampling_start_index - t0:]``).
+    Checkpoint/restart = call again with the carried state and t0 = steps done
+    (saveCheckpointData/loadInputData recovery, :1176/:186-228).
+    """
+
+    def body(carry, t):
+        new = step(carry, t, ops, src, cfg)
+        out = sample_fn(new) if sample_fn is not None else None
+        return new, out
+
+    ts = jnp.arange(t0, t0 + n_steps)
+    final, samples = lax.scan(body, state, ts)
+    return final, samples
