@@ -1,0 +1,70 @@
+"""kspaceFirstOrder-TPU command-line entry (main.cpp:840-937 equivalent).
+
+`python -m kwave_tpu.cli -i input.h5 -o output.h5 --p_c ...`
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from kwave_tpu.driver import run_simulation
+from kwave_tpu.io.input_file import read_input_file
+from kwave_tpu.params import args_to_run_config, build_parser
+
+VERSION = ("kspaceFirstOrder-TPU v0.1 (kwave_tpu; capability target: "
+           "kspaceFirstOrder-CUDA v1.3)")
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.version:
+        print(VERSION)
+        return 0
+
+    t0 = time.time()
+    data = read_input_file(args.input_file)
+    if args.benchmark is not None:
+        # --benchmark truncates Nt (Parameters.cpp:130-133)
+        import dataclasses
+
+        data.grid = dataclasses.replace(data.grid, nt=min(args.benchmark, data.grid.nt))
+    run = args_to_run_config(args, dt=data.grid.dt)
+    load_s = time.time() - t0
+
+    if not any(run.flags.values()):
+        # reference default: store raw pressure when nothing else requested
+        run.flags["p_raw"] = True
+
+    t1 = time.time()
+    summary = run_simulation(
+        data, run, args.output_file,
+        resume_from=args.checkpoint_file
+        if args.checkpoint_file and _checkpoint_exists(args.checkpoint_file) else None,
+    )
+    sim_s = time.time() - t1
+
+    if args.verbose >= 0:
+        print(f"[kwave_tpu] load {load_s:.2f}s  simulate+store {sim_s:.2f}s")
+        for name, shape in summary.items():
+            print(f"  {name}: {shape}")
+    return 0
+
+
+def _checkpoint_exists(path: str) -> bool:
+    import os
+
+    import h5py
+
+    if not os.path.exists(path):
+        return False
+    try:
+        with h5py.File(path, "r") as f:
+            return "t_index" in f
+    except OSError:
+        return False
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,320 @@
+"""Simulation driver: chunked main loop fusing solver steps, sensor sampling, and stream
+processing into one jitted window function.
+
+TPU-first restructuring of KSpaceFirstOrderSolver::compute/computeMainLoop
+(KSpaceSolver/KSpaceFirstOrderSolver.cpp:268-943): instead of the reference's per-step
+device->host zero-copy flush with one-step delay (:1060-1093), the loop runs in aligned
+oSize-step windows — each window is ONE device program (lax.scan over the window) that
+returns the raw sample rows and exactly one coefficient frame per compressed stream; the
+host then appends those to HDF5 while the next window computes.
+
+Two sampling strategies (identical results):
+- "ys": per-step gather emitted as scan outputs (default);
+- "carry": gather written into a carried window buffer via dynamic_update_slice — works
+  around a remote-compile pathology of the axon TPU tunnel with gather+ys scans.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from kwave_tpu import streams as streams_mod
+from kwave_tpu.basis import CompressionBasis, find_period, generate_basis
+from kwave_tpu.io import checkpoint as ckpt_io
+from kwave_tpu.io import create_output_file
+from kwave_tpu.io.input_file import InputData
+from kwave_tpu.sampling import sample_index
+from kwave_tpu.solver import (
+    SimState,
+    SolverConfig,
+    Sources,
+    init_state,
+    make_operators,
+    shifted_velocity,
+    step,
+)
+from kwave_tpu.streams import StreamSpec, StreamWriter
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """Driver-level knobs (CLI surface, CommandLineParameters)."""
+
+    flags: dict[str, bool]  # stream flags (streams.StreamSpec.from_flags keys)
+    mode40: bool = False
+    period: Optional[float] = None  # None -> auto-detect from p_source_input
+    mos: int = 1
+    harmonics: int = 1
+    sampling_start: int = 0  # -s flag, 0-based
+    compression_level: int = 0
+    checkpoint_file: Optional[str] = None
+    checkpoint_interval_steps: Optional[int] = None
+
+
+def detect_period(data: InputData, run: RunConfig) -> Optional[float]:
+    """Period from --frequency/--period or auto-detected on the tail of the source signal
+    (Parameters::readScalarsFromInputFile, Parameters.cpp:473-513: last <=500 samples of the
+    middle column of p_source_input)."""
+    if run.period is not None:
+        return run.period
+    sig = data.p_source_input
+    if sig is None:
+        if data.transducer_source_input is not None:
+            sig = data.transducer_source_input
+        else:
+            return None
+    if sig.ndim == 2:
+        sig = sig[sig.shape[0] // 2]
+    tail = np.asarray(sig[-500:], np.float32)
+    return float(find_period(tail))
+
+
+def _gather_sources(state: SimState, ops, mask, wanted: list[str]):
+    row = {}
+    shifted = None
+    for src_name in wanted:
+        if src_name == "p":
+            row["p"] = sample_index(state.p.reshape(-1), mask)
+        elif src_name in ("ux_sgx", "uy_sgy", "uz_sgz"):
+            row[src_name] = sample_index(getattr(state, src_name).reshape(-1), mask)
+        elif src_name.endswith("_shifted"):
+            if shifted is None:
+                shifted = shifted_velocity(state, ops)
+            ax = {"ux_shifted": 0, "uy_shifted": 1, "uz_shifted": 2}[src_name]
+            row[src_name] = sample_index(shifted[ax].reshape(-1), mask)
+    return row
+
+
+def make_window_fn(
+    specs: list[StreamSpec],
+    basis: Optional[CompressionBasis],
+    cfg: SolverConfig,
+    o_size: int,
+    n_sensors: int,
+    strategy: str = "ys",
+):
+    """Jitted window program: (sim_state, stream_states, t0) -> (sim_state, stream_states,
+    emissions). Runs o_size solver steps, gathers every wanted source each step, then
+    advances all streams one window."""
+    wanted = streams_mod.needed_sources(specs)
+    whole_domain = [s for s in specs if s.op in ("max_all", "min_all")]
+
+    def _fold_wd(wd, st):
+        # per-step whole-domain extrema folded inside the scan (cudaSampleAll semantics,
+        # OutputStreamsCudaKernels.cu:297-316)
+        out = dict(wd)
+        for s in whole_domain:
+            field = getattr(st, _field_attr(s.source)).reshape(-1)
+            out[s.name] = (
+                jnp.maximum(wd[s.name], field) if s.op == "max_all"
+                else jnp.minimum(wd[s.name], field)
+            )
+        return out
+
+    @jax.jit
+    def window(sim_state, stream_states, t0, ops, src, mask):
+        wd0 = {s.name: stream_states[s.name] for s in whole_domain}
+        if strategy == "carry":
+            bufs = {w: jnp.zeros((o_size, n_sensors), jnp.float32) for w in wanted}
+
+            def body(carry, i):
+                st, bufs, wd = carry
+                st = step(st, t0 + i, ops, src, cfg)
+                rows = _gather_sources(st, ops, mask, wanted)
+                bufs = {
+                    w: lax.dynamic_update_slice(bufs[w], rows[w][None, :], (i, 0))
+                    for w in wanted
+                }
+                return (st, bufs, _fold_wd(wd, st)), None
+
+            (sim2, chunks, wd), _ = lax.scan(
+                body, (sim_state, bufs, wd0), jnp.arange(o_size)
+            )
+        else:
+
+            def body(carry, i):
+                st, wd = carry
+                st = step(st, t0 + i, ops, src, cfg)
+                return (st, _fold_wd(wd, st)), _gather_sources(st, ops, mask, wanted)
+
+            (sim2, wd), chunks = lax.scan(body, (sim_state, wd0), jnp.arange(o_size))
+
+        pre = dict(stream_states, **wd)
+        new_states, emissions = streams_mod.process_chunk(pre, chunks, {}, specs, basis)
+        return sim2, new_states, emissions
+
+    return window
+
+
+def _field_attr(source: str) -> str:
+    return {"p": "p", "ux_sgx": "ux_sgx", "uy_sgy": "uy_sgy", "uz_sgz": "uz_sgz"}[source]
+
+
+def run_simulation(
+    data: InputData,
+    run: RunConfig,
+    output_path: str,
+    strategy: str = "ys",
+    resume_from: Optional[str] = None,
+) -> dict[str, Any]:
+    """Full compute(): load -> preprocess -> windowed main loop -> aggregates -> output.
+
+    Returns a summary dict (dataset names -> shapes written)."""
+    grid, medium = data.grid, data.medium
+    is3d = grid.dim == 3
+
+    specs = StreamSpec.from_flags(run.flags, is3d, run.mode40)
+    has_c = any(s.op == "c" for s in specs)
+    basis = None
+    if has_c:
+        period = detect_period(data, run)
+        if period is None:
+            raise ValueError("compressed streams need --period/--frequency or a source "
+                             "signal for auto-detection")
+        basis = generate_basis(period, run.mos, run.harmonics, normalize=True)
+
+    need_additive = (data.p_source_mode == 2 and data.p_source_flag) or (
+        data.u_source_mode == 2 and data.u_source_flag_any()
+    )
+    ops = make_operators(
+        grid, medium, data.pml_size, data.pml_alpha,
+        absorbing=data.absorbing,
+        need_source_kappa=bool(need_additive),
+        need_shift=streams_mod.needs_shifted_velocity(specs),
+    )
+    cfg = SolverConfig(
+        nonlinear=data.nonlinear,
+        absorbing=data.absorbing,
+        p0_source_flag=data.p0 is not None,
+        p_source_flag=data.p_source_flag,
+        p_source_mode=data.p_source_mode,
+        p_source_many=data.p_source_many,
+        u_source_flag=max(data.ux_source_flag, data.uy_source_flag, data.uz_source_flag),
+        u_source_mode=data.u_source_mode,
+        u_source_many=data.u_source_many,
+        transducer_source_flag=data.transducer_source_flag,
+        sampling_start_index=run.sampling_start,
+    )
+    src = Sources(
+        p0=jnp.asarray(data.p0) if data.p0 is not None else None,
+        p_index=jnp.asarray(data.p_source_index) if data.p_source_index is not None else None,
+        p_signal=jnp.asarray(data.p_source_input) if data.p_source_input is not None else None,
+        u_index=jnp.asarray(data.u_source_index) if data.u_source_index is not None else None,
+        ux_signal=jnp.asarray(data.ux_source_input) if data.ux_source_input is not None else None,
+        uy_signal=jnp.asarray(data.uy_source_input) if data.uy_source_input is not None else None,
+        uz_signal=jnp.asarray(data.uz_source_input) if data.uz_source_input is not None else None,
+        transducer_index=jnp.asarray(data.u_source_index)
+        if data.transducer_source_flag and data.u_source_index is not None else None,
+        transducer_signal=jnp.asarray(data.transducer_source_input)
+        if data.transducer_source_input is not None else None,
+        delay_mask=jnp.asarray(data.delay_mask) if data.delay_mask is not None else None,
+    )
+
+    if data.sensor_mask_index is not None:
+        mask = jnp.asarray(data.sensor_mask_index.astype(np.int32))
+    else:
+        # cuboid corners -> flat indices (CuboidOutputStream samples cuboids; the driver
+        # currently linearizes them through one index mask — same bytes, one gather)
+        mask = jnp.asarray(_corners_to_indices(data.sensor_mask_corners, grid))
+    n_sensors = int(mask.shape[0])
+
+    sim_state = init_state(grid)
+    t0 = 0
+    if resume_from is not None:
+        ck = ckpt_io.read_checkpoint(resume_from)
+        t0 = ck["t_index"]
+        shp = grid.shape
+        f = ck["fields"]
+        sim_state = SimState(
+            p=jnp.asarray(f["p"].reshape(shp)),
+            ux_sgx=jnp.asarray(f["ux_sgx"].reshape(shp)),
+            uy_sgy=jnp.asarray(f["uy_sgy"].reshape(shp)),
+            uz_sgz=jnp.asarray(f["uz_sgz"].reshape(shp)) if is3d else None,
+            rho_x=jnp.asarray(f["rhox"].reshape(shp)),
+            rho_y=jnp.asarray(f["rhoy"].reshape(shp)),
+            rho_z=jnp.asarray(f["rhoz"].reshape(shp)) if is3d else None,
+        )
+
+    sampled_steps = grid.nt - run.sampling_start
+    o = basis.o_size if basis is not None else min(max(sampled_steps, 1), 64)
+    stream_states = streams_mod.init_stream_states(specs, n_sensors, grid.n_elements, basis)
+
+    f = create_output_file(output_path)
+    writer = StreamWriter(
+        f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
+        run.compression_level,
+    )
+    window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy)
+
+    # lead-in: steps before sampling starts (reference skips storage until t >= s,
+    # KSpaceFirstOrderSolver.cpp:1060-1068)
+    t = t0
+    if run.sampling_start > t:
+        from kwave_tpu.solver import simulate
+
+        sim_state, _ = simulate(sim_state, ops, src, cfg, run.sampling_start - t, t0=t)
+        t = run.sampling_start
+
+    n_windows = (grid.nt - t) // o
+    for w in range(n_windows):
+        sim_state, stream_states, emissions = window(
+            sim_state, stream_states, jnp.int32(t), ops, src, mask
+        )
+        writer.flush_emissions(emissions)
+        t += o
+    # trailing steps (< one window): advance state; raw rows still stored
+    rem = grid.nt - t
+    if rem > 0:
+        from kwave_tpu.solver import simulate
+
+        raw_specs = [s for s in specs if s.op == "raw"]
+        wanted = streams_mod.needed_sources(raw_specs)
+        sim_state, tail = simulate(
+            sim_state, ops, src, cfg, rem, t0=t,
+            sample_fn=(lambda s: _gather_sources(s, ops, mask, wanted)) if wanted else None,
+        )
+        if wanted:
+            writer.flush_emissions({s.name: np.asarray(tail[s.source]) for s in raw_specs})
+        t += rem
+
+    writer.flush_aggregates(
+        streams_mod.finalize_aggregates(stream_states, specs, sampled_steps)
+    )
+    finals = {}
+    for s in specs:
+        if s.op == "final":
+            finals[s.name] = np.asarray(getattr(sim_state, _field_attr(s.source)))
+    writer.flush_final_fields(finals)
+
+    if run.checkpoint_file is not None:
+        ckpt_io.write_checkpoint(
+            run.checkpoint_file,
+            jax.tree_util.tree_map(np.asarray, sim_state),
+            t,
+            (grid.nx, grid.ny, grid.nz),
+        )
+
+    summary = {name: writer.datasets[name].shape for name in writer.datasets}
+    f.close()
+    return summary
+
+
+def _corners_to_indices(corners: np.ndarray, grid) -> np.ndarray:
+    """Cuboid corner list [N,6] (0-based inclusive) -> concatenated flat indices in cuboid
+    scan order (z slab, y row, x fastest — transformCoordinates,
+    OutputStreamsCudaKernels.cu:164-188)."""
+    idx = []
+    for x1, y1, z1, x2, y2, z2 in corners:
+        zz, yy, xx = np.meshgrid(
+            np.arange(z1, z2 + 1), np.arange(y1, y2 + 1), np.arange(x1, x2 + 1),
+            indexing="ij",
+        )
+        idx.append((xx + grid.nx * (yy + grid.ny * zz)).reshape(-1))
+    return np.concatenate(idx).astype(np.int32)

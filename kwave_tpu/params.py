@@ -1,0 +1,104 @@
+"""CLI parameter surface — the full kspaceFirstOrder-CUDA flag set as argparse.
+
+Mirrors CommandLineParameters (Parameters/CommandLineParameters.cpp:253-299 getopt loop;
+flag docs main.cpp:196-307): same long-option names, same semantics (e.g. `-s` is 1-based,
+`-c` is the output-file gzip level, `--benchmark` truncates Nt). GPU/thread selection flags
+(-g/-t) are accepted for drop-in compatibility and ignored — device binding is JAX's.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+from kwave_tpu.driver import RunConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kspaceFirstOrder-TPU",
+        description="Fluid k-space first-order simulator (TPU, JAX) with on-the-fly "
+        "compression — capability-equivalent to kspaceFirstOrder-CUDA v1.3",
+    )
+    p.add_argument("-i", "--input_file", required=True, help="HDF5 input file")
+    p.add_argument("-o", "--output_file", required=True, help="HDF5 output file")
+    p.add_argument("-r", "--progress_interval", type=int, default=5,
+                   help="progress print interval in %%")
+    p.add_argument("-t", "--threads", type=int, default=None,
+                   help="(compat; ignored — XLA manages threads)")
+    p.add_argument("-g", "--gpu_id", type=int, default=None,
+                   help="(compat; ignored — JAX device binding)")
+    p.add_argument("-c", "--compression_level", type=int, default=0,
+                   help="output HDF5 gzip level 0-9")
+    p.add_argument("-s", "--sampling_start", type=int, default=1,
+                   help="first sampled timestep (1-based, as the reference)")
+    p.add_argument("--benchmark", type=int, default=None, metavar="STEPS",
+                   help="run only STEPS timesteps")
+    p.add_argument("--verbose", type=int, default=0, choices=[0, 1, 2])
+    p.add_argument("--version", action="store_true")
+
+    p.add_argument("--checkpoint_file", default=None)
+    p.add_argument("--checkpoint_interval", type=int, default=None, metavar="SECONDS")
+    p.add_argument("--checkpoint_timesteps", type=int, default=None, metavar="STEPS")
+    p.add_argument("--copy_sensor_mask", action="store_true",
+                   help="copy the sensor mask into the output file")
+
+    # pressure streams
+    p.add_argument("-p", "--p_raw", action="store_true")
+    for f in ("p_c", "p_rms", "p_max", "p_min", "p_max_all", "p_min_all", "p_final"):
+        p.add_argument(f"--{f}", action="store_true")
+    # velocity streams
+    p.add_argument("-u", "--u_raw", action="store_true")
+    for f in ("u_c", "u_non_staggered_raw", "u_non_staggered_c", "u_rms", "u_max",
+              "u_min", "u_max_all", "u_min_all", "u_final"):
+        p.add_argument(f"--{f}", action="store_true")
+    # intensity / Q term
+    for f in ("I_avg", "I_avg_c", "Q_term", "Q_term_c"):
+        p.add_argument(f"--{f}", action="store_true")
+    p.add_argument("--post", action="store_true",
+                   help="post-processing only on an existing output file")
+    p.add_argument("--block_size", type=int, default=None,
+                   help="I/O block size for post-processing")
+
+    # compression configuration
+    p.add_argument("--frequency", type=float, default=None,
+                   help="source frequency [Hz]; period = 1/(dt*frequency)")
+    p.add_argument("--period", type=float, default=None,
+                   help="compression basis period in timesteps")
+    p.add_argument("--mos", type=int, default=1, help="multiple of overlap size")
+    p.add_argument("--harmonics", type=int, default=1)
+    p.add_argument("--no_overlap", action="store_true",
+                   help="no-overlap compression windows")
+    p.add_argument("--40-bit_complex", dest="bit40", action="store_true",
+                   help="store coefficients in the packed 40-bit format")
+    return p
+
+
+def args_to_run_config(args, dt: Optional[float] = None) -> RunConfig:
+    """argparse Namespace -> driver RunConfig (the Parameters::init digest,
+    Parameters.cpp:113-154,461-552)."""
+    flags = {
+        k: getattr(args, k)
+        for k in (
+            "p_raw", "p_c", "p_rms", "p_max", "p_min", "p_max_all", "p_min_all",
+            "p_final", "u_raw", "u_c", "u_non_staggered_raw", "u_non_staggered_c",
+            "u_rms", "u_max", "u_min", "u_max_all", "u_min_all", "u_final",
+        )
+    }
+    period = args.period
+    if period is None and args.frequency is not None:
+        if dt is None:
+            raise ValueError("--frequency needs the input file's dt")
+        period = 1.0 / (args.frequency * dt)  # Parameters.cpp:473-485
+    return RunConfig(
+        flags=flags,
+        mode40=args.bit40,
+        period=period,
+        mos=args.mos,
+        harmonics=args.harmonics,
+        sampling_start=max(args.sampling_start - 1, 0),  # 1-based CLI -> 0-based
+        compression_level=args.compression_level,
+        checkpoint_file=args.checkpoint_file,
+        checkpoint_interval_steps=args.checkpoint_timesteps,
+    )

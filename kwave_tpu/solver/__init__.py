@@ -14,6 +14,7 @@ from kwave_tpu.solver.step import (
     Sources,
     add_initial_pressure,
     init_state,
+    shifted_velocity,
     simulate,
     step,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "Sources",
     "add_initial_pressure",
     "init_state",
+    "shifted_velocity",
     "simulate",
     "step",
 ]

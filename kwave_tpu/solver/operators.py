@@ -121,6 +121,11 @@ class Operators:
     absorb_tau: Optional[np.ndarray]  # scalar or full
     absorb_eta: Optional[np.ndarray]
     source_kappa: Optional[np.ndarray]  # [*, nxR] fp32 (additive sources only)
+    # half-cell backward shift per axis, rfft-reduced (x_shift_neg_r / y / z;
+    # MatrixContainer.cpp:377-388) — for non-staggered velocity sampling
+    shift_x_neg: Optional[np.ndarray] = None
+    shift_y_neg: Optional[np.ndarray] = None
+    shift_z_neg: Optional[np.ndarray] = None
     dt: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
 
@@ -208,6 +213,19 @@ def make_ddk_shift(n: int, d: float, reduced: bool):
     return pos.astype(np.complex64), neg.astype(np.complex64)
 
 
+def make_shift_neg(n: int, d: float, reduced: bool) -> np.ndarray:
+    """Half-cell backward shift operator exp(-i*k*d/2) (x_shift_neg_r etc., loaded from the
+    input file by the reference, MatrixContainer.cpp:377-388; used by computeShiftedVelocity,
+    KSpaceFirstOrderSolver.cpp:2714-2735, to move staggered velocities onto the regular grid)."""
+    k = 2.0 * np.pi * np.fft.fftfreq(n, d)
+    if reduced:
+        kr = np.abs(k[: n // 2 + 1])
+        if n % 2 == 0:
+            kr[-1] = k[n // 2]  # Nyquist keeps the negative sign (ifftshift convention)
+        k = kr
+    return np.exp(-1j * k * d / 2.0).astype(np.complex64)
+
+
 def make_pml(n: int, size: int, alpha_max: float, c_ref: float, d: float, dt: float,
              staggered: bool):
     """Exponential PML damping profile over one axis (k-Wave getPML).
@@ -248,6 +266,7 @@ def make_operators(
     pml_alpha: tuple[float, ...] = (2.0, 2.0, 2.0),
     absorbing: bool = False,
     need_source_kappa: bool = False,
+    need_shift: bool = False,
 ) -> Operators:
     """Build the full operator set for one simulation (reference preProcessing,
     KSpaceFirstOrderSolver.cpp:784-861)."""
@@ -330,5 +349,9 @@ def make_operators(
         absorb_tau=tau,
         absorb_eta=eta,
         source_kappa=make_source_kappa(grid, c_ref) if need_source_kappa else None,
+        shift_x_neg=make_shift_neg(grid.nx, grid.dx, True) if need_shift else None,
+        shift_y_neg=make_shift_neg(grid.ny, grid.dy, True) if need_shift else None,
+        shift_z_neg=make_shift_neg(grid.nz, grid.dz, True) if need_shift and dim == 3
+        else None,
         dt=float(grid.dt),
     )

@@ -294,6 +294,29 @@ def step(
     return new
 
 
+def shifted_velocity(state: SimState, ops: Operators):
+    """Velocities shifted back onto the regular grid via per-axis spectral half-cell shifts
+    (computeShiftedVelocity, KSpaceFirstOrderSolver.cpp:2714-2735: batched 1D FFT per axis x
+    x_shift_neg). Returns (ux_shifted, uy_shifted, uz_shifted|None)."""
+    ndim = state.p.ndim
+
+    def shift(u, op_vec, axis):
+        n = u.shape[axis]
+        uk = jnp.fft.rfft(u, axis=axis)
+        shape = [1] * ndim
+        shape[axis] = op_vec.shape[0]
+        return jnp.fft.irfft(uk * op_vec.reshape(shape), n=n, axis=axis)
+
+    ux = shift(state.ux_sgx, ops.shift_x_neg, ndim - 1)
+    uy = shift(state.uy_sgy, ops.shift_y_neg, ndim - 2)
+    uz = (
+        shift(state.uz_sgz, ops.shift_z_neg, 0)
+        if state.uz_sgz is not None and ops.shift_z_neg is not None
+        else None
+    )
+    return ux, uy, uz
+
+
 def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array) -> SimState:
     """p = p0; rho_i = p0/(dim*c^2); u_sg = 0.5 * dt/rho0_sg * ifft(ddk_pos*kappa*fft(p0))
     (addInitialPressureSource, KSpaceFirstOrderSolver.cpp:2359-2400; kernels

@@ -1,0 +1,334 @@
+"""Output streams: the sample -> reduce/compress -> file path, as a functional state machine.
+
+TPU-first redesign of OutputStreams/* (BaseOutputStream, IndexOutputStream,
+CuboidOutputStream, WholeDomainOutputStream, OutputStreamContainer): the reference's OO
+hierarchy with zero-copy host buffers and one-step-delayed flushes
+(OutputStreamContainer.h:56-58, KSpaceFirstOrderSolver.cpp:1060-1093) becomes
+
+- a static `StreamSpec` list (which field, which reduce op, compression settings) — the
+  analogue of OutputStreamContainer::init's flag wiring (OutputStreamContainer.cpp:70-325);
+- one device-side state pytree (`init_stream_states`) holding encoder accumulators and
+  reduce buffers;
+- a pure `process_chunk` that consumes one oSize-step window of sampled rows per source
+  and advances every stream at once — raw rows pass through, aggregates fold, compressed
+  streams emit exactly one coefficient frame (the whole window is processed on-device; the
+  reference's per-step OpenMP encode loop, IndexOutputStream.cpp:348-471, becomes the
+  encoder's scan/matmul kernels);
+- a host-side `StreamWriter` that owns the HDF5 datasets and flushes emissions
+  (io.output_file contract).
+
+Sampling start (-s flag) and the trailing partial window follow the reference's dataset
+sizing: raw rows Nt-s, compressed frames floor((Nt-s)/oSize) (IndexOutputStream.cpp:105-117).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kwave_tpu import encoder, sampling
+from kwave_tpu.basis import MAX_EXP_P, MAX_EXP_U, CompressionBasis
+from kwave_tpu.io import names as dn
+from kwave_tpu.io.output_file import (
+    CompressionAttrs,
+    create_aggregate_dataset,
+    create_compressed_dataset,
+    create_raw_dataset,
+)
+
+# Sources a stream can sample (the reference's matrix wiring,
+# OutputStreamContainer.cpp:84-266).
+SOURCES = (
+    "p",
+    "ux_sgx",
+    "uy_sgy",
+    "uz_sgz",
+    "ux_shifted",
+    "uy_shifted",
+    "uz_shifted",
+)
+
+# ops: raw | c | rms | max | min | max_all | min_all | final
+# (BaseOutputStream::ReduceOperator, BaseOutputStream.h:68-88, + p_final/u_final which the
+# reference stores straight from the field at the last step, KSpaceFirstOrderSolver.cpp:962-985)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamSpec:
+    name: str  # dataset name, e.g. "p_c", "ux_rms"
+    source: str  # one of SOURCES
+    op: str
+    mode40: bool = False
+    shifted_basis: bool = False  # velocity non-staggered streams use shifted tables
+
+    @staticmethod
+    def from_flags(
+        flags: dict[str, bool], is3d: bool, mode40: bool = False
+    ) -> list["StreamSpec"]:
+        """Flag surface -> stream list (OutputStreamContainer::init,
+        OutputStreamContainer.cpp:70-325). `flags` keys: p_raw, p_c, p_rms, p_max, p_min,
+        p_max_all, p_min_all, p_final, u_raw, u_c, u_non_staggered_raw, u_non_staggered_c,
+        u_rms, u_max, u_min, u_max_all, u_min_all, u_final."""
+        specs: list[StreamSpec] = []
+        ax = ("x", "y", "z") if is3d else ("x", "y")
+
+        def u_each(fmt, source_fmt, op, **kw):
+            for a in ax:
+                specs.append(
+                    StreamSpec(fmt.format(a=a), source_fmt.format(a=a), op, **kw)
+                )
+
+        if flags.get("p_raw"):
+            specs.append(StreamSpec(dn.P, "p", "raw"))
+        if flags.get("p_c"):
+            specs.append(StreamSpec(dn.P + dn.COMPRESS_SUFFIX, "p", "c", mode40=mode40))
+        if flags.get("p_rms"):
+            specs.append(StreamSpec("p_rms", "p", "rms"))
+        if flags.get("p_max"):
+            specs.append(StreamSpec("p_max", "p", "max"))
+        if flags.get("p_min"):
+            specs.append(StreamSpec("p_min", "p", "min"))
+        if flags.get("p_max_all"):
+            specs.append(StreamSpec("p_max_all", "p", "max_all"))
+        if flags.get("p_min_all"):
+            specs.append(StreamSpec("p_min_all", "p", "min_all"))
+        if flags.get("p_final"):
+            specs.append(StreamSpec("p_final", "p", "final"))
+        if flags.get("u_raw"):
+            u_each("u{a}", "u{a}_sg{a}", "raw")
+        if flags.get("u_c"):
+            u_each("u{a}" + dn.COMPRESS_SUFFIX, "u{a}_sg{a}", "c", mode40=mode40)
+        if flags.get("u_non_staggered_raw"):
+            u_each("u{a}_non_staggered", "u{a}_shifted", "raw")
+        if flags.get("u_non_staggered_c"):
+            # non-staggered velocity uses the shifted basis + kMaxExpU
+            # (BaseOutputStream.cpp:68-83)
+            u_each(
+                "u{a}_non_staggered" + dn.COMPRESS_SUFFIX,
+                "u{a}_shifted",
+                "c",
+                mode40=mode40,
+                shifted_basis=True,
+            )
+        if flags.get("u_rms"):
+            u_each("u{a}_rms", "u{a}_sg{a}", "rms")
+        if flags.get("u_max"):
+            u_each("u{a}_max", "u{a}_sg{a}", "max")
+        if flags.get("u_min"):
+            u_each("u{a}_min", "u{a}_sg{a}", "min")
+        if flags.get("u_max_all"):
+            u_each("u{a}_max_all", "u{a}_sg{a}", "max_all")
+        if flags.get("u_min_all"):
+            u_each("u{a}_min_all", "u{a}_sg{a}", "min_all")
+        if flags.get("u_final"):
+            u_each("u{a}_final", "u{a}_sg{a}", "final")
+        return specs
+
+    def e_const(self) -> int:
+        return MAX_EXP_U if self.shifted_basis else MAX_EXP_P
+
+    def complex_size(self) -> float:
+        return 1.25 if self.mode40 else 2.0  # BaseOutputStream.cpp:98-101
+
+
+def needs_shifted_velocity(specs: list[StreamSpec]) -> bool:
+    return any(s.source.endswith("_shifted") for s in specs)
+
+
+def needed_sources(specs: list[StreamSpec]) -> list[str]:
+    seen: list[str] = []
+    for s in specs:
+        if s.op in ("max_all", "min_all", "final"):
+            continue  # whole-domain: no sensor gather
+        if s.source not in seen:
+            seen.append(s.source)
+    return seen
+
+
+# ---------------------------------------------------------------------------
+# Device-side state + chunk processing
+# ---------------------------------------------------------------------------
+
+
+def init_stream_states(
+    specs: list[StreamSpec],
+    n_sensors: int,
+    n_grid: int,
+    basis: Optional[CompressionBasis],
+) -> dict[str, Any]:
+    """One entry per stream: encoder state for `c`, reduce buffer for aggregates, None for
+    raw/final (their data flows through chunk outputs / final state)."""
+    states: dict[str, Any] = {}
+    for s in specs:
+        if s.op == "c":
+            cfg = encoder.EncoderConfig.for_stream(basis, s.shifted_basis, s.mode40)
+            states[s.name] = encoder.init_state(cfg, n_sensors)
+        elif s.op in ("rms", "max", "min"):
+            states[s.name] = sampling.init_reduce_buffer(s.op, n_sensors)
+        elif s.op in ("max_all", "min_all"):
+            states[s.name] = sampling.init_reduce_buffer(s.op.split("_")[0], n_grid)
+        else:  # raw / final
+            states[s.name] = None
+    return states
+
+
+def encoder_tables(basis: CompressionBasis) -> dict[bool, dict[str, jax.Array]]:
+    return {
+        False: encoder.make_tables(basis, shifted=False),
+        True: encoder.make_tables(basis, shifted=True),
+    }
+
+
+def process_chunk(
+    states: dict[str, Any],
+    chunks: dict[str, jax.Array],  # source -> [o, n_sensors] sampled rows
+    fields: dict[str, jax.Array],  # source -> final field of the window (flat) for _all ops
+    specs: list[StreamSpec],
+    basis: Optional[CompressionBasis],
+) -> tuple[dict[str, Any], dict[str, Any]]:
+    """Advance all streams by one aligned oSize window. Returns (states, emissions):
+    emissions[name] = raw rows [o, N] | coefficient frame (re, im)/(hdr, mr, mi) | None.
+
+    Aggregate folds consume the whole chunk at once (the reference folds per step,
+    OutputStreamsCudaKernels.cu:83-107 — associative, so window-batched here)."""
+    out: dict[str, Any] = {}
+    new_states = dict(states)
+    for s in specs:
+        if s.op == "raw":
+            out[s.name] = chunks[s.source]
+        elif s.op == "c":
+            cfg = encoder.EncoderConfig.for_stream(basis, s.shifted_basis, s.mode40)
+            tables = encoder.make_tables(basis, s.shifted_basis)
+            st, frame = encoder.encode_chunk(states[s.name], chunks[s.source], cfg, tables)
+            new_states[s.name] = st
+            out[s.name] = frame
+        elif s.op == "rms":
+            x = chunks[s.source]
+            new_states[s.name] = states[s.name] + jnp.sum(x * x, axis=0)
+        elif s.op == "max":
+            new_states[s.name] = jnp.maximum(states[s.name], jnp.max(chunks[s.source], axis=0))
+        elif s.op == "min":
+            new_states[s.name] = jnp.minimum(states[s.name], jnp.min(chunks[s.source], axis=0))
+        elif s.op in ("max_all", "min_all"):
+            # whole-domain extrema are folded per step inside the driver's window scan
+            # (driver.make_window_fn); if the caller passes stacked per-step fields here
+            # instead, fold them now.
+            x = fields.get(s.source)
+            if x is not None:
+                fold = jnp.max if s.op == "max_all" else jnp.min
+                cur = fold(x, axis=0) if x.ndim == 2 else x
+                new_states[s.name] = (
+                    jnp.maximum(states[s.name], cur) if s.op == "max_all"
+                    else jnp.minimum(states[s.name], cur)
+                )
+        # final: handled at end of run from the last state
+    return new_states, out
+
+
+def finalize_aggregates(
+    states: dict[str, Any], specs: list[StreamSpec], sampled_steps: int
+) -> dict[str, np.ndarray]:
+    """Post-processing of aggregate buffers (BaseOutputStream::postProcess,
+    BaseOutputStream.cpp:160-180: rms scaled by 1/(Nt-s) and sqrt'd)."""
+    out = {}
+    for s in specs:
+        if s.op == "rms":
+            out[s.name] = np.asarray(sampling.post_rms(states[s.name], sampled_steps))
+        elif s.op in ("max", "min", "max_all", "min_all"):
+            out[s.name] = np.asarray(states[s.name])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side writer
+# ---------------------------------------------------------------------------
+
+
+class StreamWriter:
+    """Owns the output-file datasets for a stream set; flushes emissions as they arrive.
+
+    Dataset sizing per the reference contract (IndexOutputStream::create,
+    IndexOutputStream.cpp:87-171)."""
+
+    def __init__(
+        self,
+        h5file,
+        specs: list[StreamSpec],
+        n_sensors: int,
+        n_grid: int,
+        sampled_steps: int,
+        basis: Optional[CompressionBasis],
+        compression_level: int = 0,
+    ):
+        self.f = h5file
+        self.specs = {s.name: s for s in specs}
+        self.basis = basis
+        self.sampled_steps = sampled_steps
+        self.rows = {name: 0 for name in self.specs}
+        self.datasets = {}
+        for s in specs:
+            if s.op == "raw":
+                self.datasets[s.name] = create_raw_dataset(
+                    h5file, s.name, n_sensors, sampled_steps, compression_level
+                )
+            elif s.op == "c":
+                attrs = CompressionAttrs(
+                    harmonics=basis.harmonics,
+                    period=basis.period,
+                    mos=basis.mos,
+                    shift=s.shifted_basis,
+                    complex_size=s.complex_size(),
+                    max_exp=s.e_const(),
+                )
+                self.datasets[s.name] = create_compressed_dataset(
+                    h5file, s.name, n_sensors, sampled_steps, attrs, compression_level
+                )
+            elif s.op in ("rms", "max", "min"):
+                self.datasets[s.name] = create_aggregate_dataset(
+                    h5file, s.name, n_sensors, compression_level
+                )
+            elif s.op in ("max_all", "min_all", "final"):
+                self.datasets[s.name] = create_aggregate_dataset(
+                    h5file, s.name, n_grid, compression_level
+                )
+
+    def flush_emissions(self, emissions: dict[str, Any]) -> None:
+        """Write raw rows / one coefficient frame per compressed stream."""
+        for name, data in emissions.items():
+            if data is None:
+                continue
+            spec = self.specs[name]
+            ds = self.datasets[name]
+            if spec.op == "raw":
+                rows = np.asarray(data)
+                n = rows.shape[0]
+                limit = ds.shape[1] - self.rows[name]
+                n = min(n, limit)
+                if n > 0:
+                    ds[0, self.rows[name] : self.rows[name] + n, :] = rows[:n]
+                    self.rows[name] += n
+            elif spec.op == "c":
+                if self.rows[name] >= ds.shape[1]:
+                    continue
+                if spec.mode40:
+                    flat = encoder.frames_to_flat_40b(*data)
+                    # 5-byte AoS stream -> float32 row (zero-padded to mSize floats)
+                    row = np.zeros(ds.shape[2], np.float32)
+                    row.view(np.uint8)[: flat.size] = flat
+                else:
+                    row = encoder.frames_to_flat_float(*data)
+                ds[0, self.rows[name], :] = row.reshape(-1)
+                self.rows[name] += 1
+
+    def flush_aggregates(self, finals: dict[str, np.ndarray]) -> None:
+        for name, data in finals.items():
+            self.datasets[name][...] = np.asarray(data).reshape(self.datasets[name].shape)
+
+    def flush_final_fields(self, field_map: dict[str, np.ndarray]) -> None:
+        """p_final/u*_final snapshots (KSpaceFirstOrderSolver.cpp:962-985)."""
+        for name, data in field_map.items():
+            self.datasets[name][...] = np.asarray(data).reshape(self.datasets[name].shape)

@@ -1,0 +1,134 @@
+"""Driver tests: the windowed stream loop vs a plain per-step reference run."""
+
+import numpy as np
+import h5py
+import pytest
+
+import jax.numpy as jnp
+
+from kwave_tpu import sampling
+from kwave_tpu.basis import generate_basis
+from kwave_tpu.driver import RunConfig, run_simulation
+from kwave_tpu.encoder import encode_series_exact, frames_to_flat_float
+from kwave_tpu.io.input_file import InputData
+from kwave_tpu.solver import (
+    Grid,
+    Medium,
+    SolverConfig,
+    Sources,
+    init_state,
+    make_operators,
+    simulate,
+)
+
+
+def _input(nt=60, n=16):
+    grid = Grid(nx=n, ny=n, nz=n, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=nt)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[n // 2, n // 2, n // 2] = 1e5
+    mask = np.sort(
+        np.random.default_rng(3).choice(grid.n_elements, 64, replace=False)
+    ).astype(np.int64)
+    return InputData(
+        grid=grid,
+        medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4, 4),
+        pml_alpha=(2.0,) * 3,
+        sensor_mask_index=mask,
+        p0=p0,
+    )
+
+
+def _reference_series(data):
+    """Plain per-step run: the ground truth the windowed driver must match exactly."""
+    grid = data.grid
+    ops = make_operators(grid, data.medium, data.pml_size, data.pml_alpha)
+    cfg = SolverConfig(p0_source_flag=True)
+    src = Sources(p0=jnp.asarray(data.p0))
+    mask = jnp.asarray(data.sensor_mask_index.astype(np.int32))
+    _, series = simulate(
+        init_state(grid), ops, src, cfg, grid.nt,
+        sample_fn=lambda s: sampling.sample_index(s.p.reshape(-1), mask),
+    )
+    return np.asarray(series)
+
+
+@pytest.mark.parametrize("strategy", ["ys", "carry"])
+def test_driver_matches_reference_run(tmp_path, strategy):
+    data = _input()
+    out = str(tmp_path / f"out_{strategy}.h5")
+    run = RunConfig(
+        flags=dict(p_raw=True, p_c=True, p_rms=True, p_max=True, p_min=True,
+                   p_max_all=True, p_final=True, u_raw=True),
+        period=10.0, harmonics=2,
+    )
+    summary = run_simulation(data, run, out, strategy=strategy)
+    series = _reference_series(data)
+
+    with h5py.File(out, "r") as f:
+        # raw series: windows cover nt//o * o steps; compare that prefix bitwise
+        raw = np.asarray(f["p"])[0]
+        assert raw.shape == (60, 64)
+        np.testing.assert_array_equal(raw, series)
+
+        # compressed stream vs the exact encoder on the reference series
+        cb = generate_basis(10.0, 1, 2, normalize=True)
+        (f_re, f_im), _ = encode_series_exact(jnp.asarray(series), cb)
+        expect = frames_to_flat_float(np.asarray(f_re), np.asarray(f_im))
+        got = np.asarray(f["p_c"])[0]
+        assert got.shape == expect.shape == (6, 64 * 2 * 2)
+        np.testing.assert_array_equal(got, expect)
+        assert f["p_c"].attrs["c_period"] == np.float32(10.0)
+
+        # aggregates
+        np.testing.assert_allclose(
+            np.asarray(f["p_rms"]).reshape(-1),
+            np.sqrt(np.mean(series.astype(np.float64) ** 2, axis=0)),
+            rtol=2e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f["p_max"]).reshape(-1), series.max(axis=0)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f["p_min"]).reshape(-1), series.min(axis=0)
+        )
+        assert np.asarray(f["p_max_all"]).max() >= series.max()
+        assert np.isfinite(np.asarray(f["p_final"])).all()
+        assert np.asarray(f["ux"]).shape == (1, 60, 64)
+
+
+def test_driver_40bit_and_trailing_window(tmp_path):
+    """40-bit compressed stream + nt not divisible by o (trailing raw rows)."""
+    data = _input(nt=47)
+    out = str(tmp_path / "out40.h5")
+    run = RunConfig(flags=dict(p_raw=True, p_c=True), period=10.0, harmonics=1,
+                    mode40=True)
+    run_simulation(data, run, out)
+    series = _reference_series(data)
+    with h5py.File(out, "r") as f:
+        raw = np.asarray(f["p"])[0]
+        np.testing.assert_array_equal(raw, series)  # incl. trailing 7 rows
+        pc = f["p_c"]
+        assert pc.shape == (1, 4, int(np.ceil(64 * 1.25)) * 1)
+        assert pc.attrs["c_complex_size"] == np.float32(1.25)
+        (hdr, mr, mi), _ = __import__("kwave_tpu.encoder", fromlist=["x"]).encode_series_exact(
+            jnp.asarray(series[:40]), generate_basis(10.0, 1, 1), mode40=True
+        )
+        from kwave_tpu.encoder import frames_to_flat_40b
+        expect_bytes = frames_to_flat_40b(np.asarray(hdr), np.asarray(mr), np.asarray(mi))
+        got = np.asarray(pc)[0]
+        got_bytes = got.view(np.uint8).reshape(4, -1)[:, : expect_bytes.shape[-1]]
+        np.testing.assert_array_equal(got_bytes, expect_bytes)
+
+
+def test_driver_cuboid_mask_and_sampling_start(tmp_path):
+    data = _input(nt=40)
+    data.sensor_mask_index = None
+    data.sensor_mask_corners = np.array([[2, 2, 2, 5, 4, 3], [8, 8, 8, 9, 9, 9]])
+    out = str(tmp_path / "outc.h5")
+    run = RunConfig(flags=dict(p_raw=True), sampling_start=10)
+    run_simulation(data, run, out)
+    n_pts = 4 * 3 * 2 + 2 * 2 * 2
+    with h5py.File(out, "r") as f:
+        assert np.asarray(f["p"]).shape == (1, 30, n_pts)
+        assert np.abs(np.asarray(f["p"])).max() > 0
