@@ -48,6 +48,10 @@ class RunConfig:
     """Driver-level knobs (CLI surface, CommandLineParameters)."""
 
     flags: dict[str, bool]  # stream flags (streams.StreamSpec.from_flags keys)
+    i_avg: bool = False  # --I_avg: time-averaged intensity from raw series
+    i_avg_c: bool = False  # --I_avg_c: intensity from coefficient space
+    q_term: bool = False  # --Q_term
+    q_term_c: bool = False  # --Q_term_c
     mode40: bool = False
     period: Optional[float] = None  # None -> auto-detect from p_source_input
     mos: int = 1
@@ -170,7 +174,18 @@ def run_simulation(
     grid, medium = data.grid, data.medium
     is3d = grid.dim == 3
 
-    specs = StreamSpec.from_flags(run.flags, is3d, run.mode40)
+    flags = dict(run.flags)
+    # I_avg/Q_term need the p and non-staggered-u series stored first — the reference's
+    # hidden doNotSave dependency streams (OutputStreamContainer.cpp:269-325). Here the
+    # dependency series are regular datasets in the output file.
+    if run.i_avg or run.q_term:
+        flags["p_raw"] = True
+        flags["u_non_staggered_raw"] = True
+    if run.i_avg_c or run.q_term_c:
+        flags["p_c"] = True
+        flags["u_non_staggered_c"] = True
+
+    specs = StreamSpec.from_flags(flags, is3d, run.mode40)
     has_c = any(s.op == "c" for s in specs)
     basis = None
     if has_c:
@@ -227,30 +242,49 @@ def run_simulation(
 
     sim_state = init_state(grid)
     t0 = 0
+    ck = None
     if resume_from is not None:
         ck = ckpt_io.read_checkpoint(resume_from)
         t0 = ck["t_index"]
         shp = grid.shape
-        f = ck["fields"]
+        fd = ck["fields"]
         sim_state = SimState(
-            p=jnp.asarray(f["p"].reshape(shp)),
-            ux_sgx=jnp.asarray(f["ux_sgx"].reshape(shp)),
-            uy_sgy=jnp.asarray(f["uy_sgy"].reshape(shp)),
-            uz_sgz=jnp.asarray(f["uz_sgz"].reshape(shp)) if is3d else None,
-            rho_x=jnp.asarray(f["rhox"].reshape(shp)),
-            rho_y=jnp.asarray(f["rhoy"].reshape(shp)),
-            rho_z=jnp.asarray(f["rhoz"].reshape(shp)) if is3d else None,
+            p=jnp.asarray(fd["p"].reshape(shp)),
+            ux_sgx=jnp.asarray(fd["ux_sgx"].reshape(shp)),
+            uy_sgy=jnp.asarray(fd["uy_sgy"].reshape(shp)),
+            uz_sgz=jnp.asarray(fd["uz_sgz"].reshape(shp)) if is3d else None,
+            rho_x=jnp.asarray(fd["rhox"].reshape(shp)),
+            rho_y=jnp.asarray(fd["rhoy"].reshape(shp)),
+            rho_z=jnp.asarray(fd["rhoz"].reshape(shp)) if is3d else None,
         )
 
     sampled_steps = grid.nt - run.sampling_start
     o = basis.o_size if basis is not None else min(max(sampled_steps, 1), 64)
     stream_states = streams_mod.init_stream_states(specs, n_sensors, grid.n_elements, basis)
 
-    f = create_output_file(output_path)
-    writer = StreamWriter(
-        f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
-        run.compression_level,
-    )
+    if ck is not None:
+        # reopen output RW and seek streams (reference recovery,
+        # KSpaceFirstOrderSolver.cpp:186-228)
+        import h5py
+
+        sampled_done = max(t0 - run.sampling_start, 0)
+        f = h5py.File(output_path, "r+")
+        writer = StreamWriter(
+            f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
+            run.compression_level, reopen=True, rows_done=sampled_done,
+        )
+        stream_states = streams_mod.restore_stream_states(
+            stream_states, ck["stream_coeffs"], specs, sampled_done, o
+        )
+        stream_states = streams_mod.restore_aggregates_from_file(
+            stream_states, specs, f, sampled_done
+        )
+    else:
+        f = create_output_file(output_path)
+        writer = StreamWriter(
+            f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
+            run.compression_level,
+        )
     window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy)
 
     # lead-in: steps before sampling starts (reference skips storage until t >= s,
@@ -263,12 +297,41 @@ def run_simulation(
         t = run.sampling_start
 
     n_windows = (grid.nt - t) // o
+    interrupted = False
     for w in range(n_windows):
         sim_state, stream_states, emissions = window(
             sim_state, stream_states, jnp.int32(t), ops, src, mask
         )
         writer.flush_emissions(emissions)
         t += o
+        if (
+            run.checkpoint_interval_steps is not None
+            and run.checkpoint_file is not None
+            and t - t0 >= run.checkpoint_interval_steps
+            and t < grid.nt
+        ):
+            # checkpoint leg boundary (isTimeToCheckpoint, Parameters.cpp:683; window
+            # granularity keeps the encoder state frame-aligned)
+            interrupted = True
+            break
+
+    if interrupted:
+        # aggregates are persisted RAW at leg boundaries; only the final leg finalizes
+        # (IndexOutputStream reopen/postProcess split)
+        writer.flush_aggregates(streams_mod.raw_aggregates(stream_states, specs))
+        ckpt_io.write_checkpoint(
+            run.checkpoint_file,
+            jax.tree_util.tree_map(np.asarray, sim_state),
+            t,
+            (grid.nx, grid.ny, grid.nz),
+            stream_coeffs=streams_mod.stream_states_to_checkpoint(
+                stream_states, specs, n_sensors
+            ),
+        )
+        summary = {name: writer.datasets[name].shape for name in writer.datasets}
+        summary["__checkpointed_at__"] = (t,)
+        f.close()
+        return summary
     # trailing steps (< one window): advance state; raw rows still stored
     rem = grid.nt - t
     if rem > 0:
@@ -303,6 +366,21 @@ def run_simulation(
 
     summary = {name: writer.datasets[name].shape for name in writer.datasets}
     f.close()
+
+    if run.i_avg or run.q_term or run.i_avg_c or run.q_term_c:
+        from kwave_tpu.postproc import post_process_output_file
+
+        mask_np = np.asarray(mask)
+        if run.i_avg or run.q_term:
+            post_process_output_file(
+                output_path, grid, mask_np,
+                want_i_avg=run.i_avg, want_q_term=run.q_term, from_coeffs=False,
+            )
+        if run.i_avg_c or run.q_term_c:
+            post_process_output_file(
+                output_path, grid, mask_np,
+                want_i_avg=run.i_avg_c, want_q_term=run.q_term_c, from_coeffs=True,
+            )
     return summary
 
 

@@ -93,6 +93,10 @@ def args_to_run_config(args, dt: Optional[float] = None) -> RunConfig:
         period = 1.0 / (args.frequency * dt)  # Parameters.cpp:473-485
     return RunConfig(
         flags=flags,
+        i_avg=args.I_avg,
+        i_avg_c=args.I_avg_c,
+        q_term=args.Q_term,
+        q_term_c=args.Q_term_c,
         mode40=args.bit40,
         period=period,
         mos=args.mos,

@@ -1,0 +1,199 @@
+"""Post-processing: time-averaged acoustic intensity and the heat-source Q term.
+
+The reference computes these after the main loop (or in `--post` mode on an existing
+output file), reading the stored sensor series back in memory-bounded blocks
+(KSpaceFirstOrderSolver.cpp: computeAverageIntensities :1231-1534,
+computeAverageIntensitiesC :1543-1775, computeQTerm :1783-2080). Semantics reproduced:
+
+- **Raw-series intensity**: velocity is staggered half a timestep behind pressure, so u is
+  time-shifted by +dt/2 spectrally (signed-frequency phase ramp exp(i*pi*shift/steps),
+  :1259-1267) before averaging: I = mean_t p * shift(u).
+- **Coefficient-space intensity**: I = mean_frames sum_h Re(cP * conj(cU)) / 2 per point —
+  no reconstruction needed (:1738-1764). (The decoder also exposes this as
+  `decoder.avg_intensity_frames`.)
+- **Q term**: scatter the sensor intensities onto the full grid, per-axis spectral
+  derivative with plain ik (signed frequencies, :1905-1924), Q = -div(I).
+
+On TPU all three are batched jnp programs — the reference's block-streamed cuFFT plan and
+OpenMP shift loops become single rfft/irfft expressions over the series.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _signed_freq_index(n_bins: int, n: int) -> np.ndarray:
+    """Signed frequency index per rfft bin: ((i + n/2) % n) - n/2 (the reference's shift
+    table, KSpaceFirstOrderSolver.cpp:1262-1266)."""
+    i = np.arange(n_bins)
+    return ((i + n // 2) % n - n // 2).astype(np.float64)
+
+
+def time_shift_half_step(u_series: jax.Array) -> jax.Array:
+    """Shift a velocity time series [T, ...] forward by dt/2 onto pressure sample times:
+    rfft over time, multiply exp(i*pi*shift/T), irfft (:1259-1267, applied :1455-1496)."""
+    t_steps = u_series.shape[0]
+    n_bins = t_steps // 2 + 1
+    shift = _signed_freq_index(n_bins, t_steps)
+    phase = np.exp(1j * np.pi * shift / t_steps).astype(np.complex64)
+    uk = jnp.fft.rfft(u_series, axis=0)
+    shape = (n_bins,) + (1,) * (u_series.ndim - 1)
+    return jnp.fft.irfft(uk * jnp.asarray(phase).reshape(shape), n=t_steps, axis=0)
+
+
+@jax.jit
+def avg_intensity_raw(p_series: jax.Array, u_series: jax.Array) -> jax.Array:
+    """I[point] = mean_t p[t] * u_shifted[t] (:1498-1517). Series are [T, N]."""
+    return jnp.mean(p_series * time_shift_half_step(u_series), axis=0)
+
+
+def avg_intensity_coeffs(cp_re, cp_im, cu_re, cu_im):
+    """Coefficient-space intensity (re-export; decoder.avg_intensity_frames)."""
+    from kwave_tpu.decoder import avg_intensity_frames
+
+    return avg_intensity_frames(cp_re, cp_im, cu_re, cu_im)
+
+
+def _ik_axis(n: int, d: float) -> np.ndarray:
+    """Spectral derivative i*k on the rfft-reduced axis with signed frequencies
+    (computeQTerm shift tables, :1905-1924)."""
+    n_bins = n // 2 + 1
+    shift = _signed_freq_index(n_bins, n)
+    return (1j * 2.0 * np.pi / d * shift / n).astype(np.complex64)
+
+
+def scatter_to_grid(values: jax.Array, mask: jax.Array, shape: tuple[int, ...]):
+    """Sensor values -> full grid (zeros elsewhere) — the Q-term scatter (:1835-1870)."""
+    flat = jnp.zeros(int(np.prod(shape)), jnp.float32).at[mask].set(values)
+    return flat.reshape(shape)
+
+
+def q_term(
+    ix: jax.Array,
+    iy: jax.Array,
+    iz: Optional[jax.Array],
+    dx: float,
+    dy: float,
+    dz: float,
+) -> jax.Array:
+    """Q = -(dIx/dx + dIy/dy [+ dIz/dz]) via per-axis 1D spectral derivatives
+    (:1926-2010). Inputs are full-grid [.., ny, nx] fields."""
+    ndim = ix.ndim
+
+    def ddx(f, d, axis):
+        n = f.shape[axis]
+        op = _ik_axis(n, d)
+        fk = jnp.fft.rfft(f, axis=axis)
+        shp = [1] * ndim
+        shp[axis] = op.shape[0]
+        return jnp.fft.irfft(fk * jnp.asarray(op).reshape(shp), n=n, axis=axis)
+
+    q = ddx(ix, dx, ndim - 1) + ddx(iy, dy, ndim - 2)
+    if iz is not None:
+        q = q + ddx(iz, dz, 0)
+    return -q
+
+
+# ---------------------------------------------------------------------------
+# File-level post-processing (--post mode / end-of-run)
+# ---------------------------------------------------------------------------
+
+
+def post_process_output_file(
+    output_path: str,
+    grid,
+    sensor_mask_index: np.ndarray,
+    want_i_avg: bool = True,
+    want_q_term: bool = False,
+    from_coeffs: bool = False,
+) -> None:
+    """Compute Ix/Iy/Iz_avg (and Q_term) from an output file holding p/u_non_staggered
+    series (raw or compressed) and append the result datasets — the `--post` path
+    (main.cpp --post flag; KSpaceFirstOrderSolver::postProcessing :950-1045).
+
+    Coefficient mode reads `*_c` datasets and stays entirely in coefficient space
+    (computeAverageIntensitiesC; float-mode coefficients only, matching the reference's
+    no-40-bit note at :1541 — the on-the-fly 40-bit path lives in streams)."""
+    import h5py
+
+    from kwave_tpu.io.hdf5 import create_dataset
+    from kwave_tpu.io import names as dn
+
+    is3d = grid.dim == 3
+    axes = ("x", "y", "z") if is3d else ("x", "y")
+    with h5py.File(output_path, "r+") as f:
+        if from_coeffs:
+
+            def load_coeffs(name):
+                """`*_c` dataset -> (re, im) [Nc, N, H]. Handles both 64-bit interleaved
+                floats and the packed 40-bit rows (which the reference's post path cannot,
+                note :1541 — here the integer unpack is exact on any backend)."""
+                ds = f[name]
+                rows = np.asarray(ds)[0]  # [Nc, mSize]
+                h_ = int(ds.attrs["c_harmonics"])
+                cs = float(ds.attrs["c_complex_size"])
+                if cs == 2.0:
+                    n_ = rows.shape[1] // (2 * h_)
+                    c = rows.reshape(rows.shape[0], n_, h_, 2)
+                    return c[..., 0], c[..., 1]
+                from kwave_tpu import bitpack
+                from kwave_tpu.oracle import bytes_to_soa
+
+                e = int(ds.attrs["c_max_exp"])
+                n_ = int(rows.shape[1] / (cs * h_))
+                raw = rows.view(np.uint8)[:, : 5 * n_ * h_]
+                hdr, mr, mi = bytes_to_soa(np.ascontiguousarray(raw).reshape(-1))
+                re, im = bitpack.decode40(
+                    jnp.asarray(hdr.reshape(rows.shape[0], n_, h_).astype(np.uint32)),
+                    jnp.asarray(mr.reshape(rows.shape[0], n_, h_).astype(np.uint32)),
+                    jnp.asarray(mi.reshape(rows.shape[0], n_, h_).astype(np.uint32)),
+                    e,
+                )
+                return np.asarray(re), np.asarray(im)
+
+            cp_re, cp_im = load_coeffs("p" + dn.COMPRESS_SUFFIX)
+            intensities = {}
+            for a in axes:
+                cu_re, cu_im = load_coeffs(f"u{a}_non_staggered" + dn.COMPRESS_SUFFIX)
+                i_a = np.mean(
+                    np.sum(cp_re * cu_re + cp_im * cu_im, axis=2), axis=0
+                ) * 0.5
+                intensities[a] = i_a.astype(np.float32)
+        else:
+            p = jnp.asarray(np.asarray(f[dn.P])[0])  # [T, N]
+            intensities = {}
+            for a in axes:
+                u = jnp.asarray(np.asarray(f[f"u{a}_non_staggered"])[0])
+                intensities[a] = np.asarray(avg_intensity_raw(p, u))
+
+        if want_i_avg:
+            for a in axes:
+                name = f"I{a}_avg" + (dn.COMPRESS_SUFFIX if from_coeffs else "")
+                if name in f:
+                    del f[name]
+                ds = create_dataset(f, name, (1, 1, intensities[a].shape[0]))
+                ds[...] = intensities[a].reshape(1, 1, -1)
+
+        if want_q_term:
+            mask = jnp.asarray(sensor_mask_index.astype(np.int32))
+            shape = grid.shape
+            fields = [
+                scatter_to_grid(jnp.asarray(intensities[a]), mask, shape) for a in axes
+            ]
+            q = np.asarray(
+                q_term(
+                    fields[0], fields[1], fields[2] if is3d else None,
+                    grid.dx, grid.dy, grid.dz,
+                )
+            )
+            qs = np.asarray(jnp.take(jnp.asarray(q.reshape(-1)), mask))
+            name = dn.Q_TERM + (dn.COMPRESS_SUFFIX if from_coeffs else "")
+            if name in f:
+                del f[name]
+            ds = create_dataset(f, name, (1, 1, qs.shape[0]))
+            ds[...] = qs.reshape(1, 1, -1)

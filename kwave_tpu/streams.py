@@ -244,6 +244,123 @@ def finalize_aggregates(
 
 
 # ---------------------------------------------------------------------------
+# Checkpoint (de)serialization of stream states
+# ---------------------------------------------------------------------------
+
+
+def stream_states_to_checkpoint(
+    states: dict[str, Any], specs: list[StreamSpec], n_sensors: int
+) -> dict[str, tuple[np.ndarray, Optional[np.ndarray]]]:
+    """Encoder accumulators -> the reference's Temp_<name>_1/2 flat buffers
+    (BaseOutputStream::checkpoint, BaseOutputStream.cpp:551-606): float mode stores
+    interleaved complex rows; 40-bit mode stores the packed 5-byte stream inside the
+    float-sized buffer."""
+    out = {}
+    for s in specs:
+        if s.op != "c":
+            continue
+        st = states[s.name]
+        if s.mode40:
+            def pack(h, r, i):
+                flat = encoder.frames_to_flat_40b(np.asarray(h), np.asarray(r),
+                                                  np.asarray(i))
+                buf = np.zeros(
+                    int(np.ceil(n_sensors * 1.25)) * np.asarray(h).shape[0], np.float32
+                )
+                buf.view(np.uint8)[: flat.size] = flat
+                return buf
+
+            b1 = pack(st["hdr1"], st["mr1"], st["mi1"])
+            b2 = pack(st["hdr2"], st["mr2"], st["mi2"]) if "hdr2" in st else None
+        else:
+            b1 = encoder.frames_to_flat_float(st["acc1_re"], st["acc1_im"])
+            b2 = (
+                encoder.frames_to_flat_float(st["acc2_re"], st["acc2_im"])
+                if "acc2_re" in st else None
+            )
+        out[s.name] = (b1, b2)
+    return out
+
+
+def restore_stream_states(
+    states: dict[str, Any],
+    coeffs: dict[str, tuple[np.ndarray, Optional[np.ndarray]]],
+    specs: list[StreamSpec],
+    sampled_steps_done: int,
+    o_size: int,
+) -> dict[str, Any]:
+    """Inverse of `stream_states_to_checkpoint` + counter reseeding
+    (loadCheckpointCompressionCoefficients, BaseOutputStream.cpp:528-544;
+    mCompressedTimeStep reseed, IndexOutputStream.cpp:207-210)."""
+    import jax.numpy as jnp_
+
+    new = dict(states)
+    for s in specs:
+        if s.op != "c" or s.name not in coeffs:
+            continue
+        st = dict(states[s.name])
+        h = st["hdr1"].shape[0] if s.mode40 else st["acc1_re"].shape[0]
+        n = st["hdr1"].shape[1] if s.mode40 else st["acc1_re"].shape[1]
+        b1, b2 = coeffs[s.name]
+
+        if s.mode40:
+            from kwave_tpu.oracle import bytes_to_soa
+
+            def unpack(buf):
+                raw = np.asarray(buf, np.float32).reshape(-1).view(np.uint8)[: 5 * n * h]
+                hdr, mr, mi = bytes_to_soa(np.ascontiguousarray(raw))
+                to = lambda a: jnp_.asarray(
+                    a.reshape(n, h).T.astype(np.uint32).copy()
+                )
+                return to(hdr), to(mr), to(mi)
+
+            st["hdr1"], st["mr1"], st["mi1"] = unpack(b1)
+            if b2 is not None and "hdr2" in st:
+                st["hdr2"], st["mr2"], st["mi2"] = unpack(b2)
+        else:
+
+            def unflat(buf):
+                c = np.asarray(buf, np.float32).reshape(n, h, 2)
+                return jnp_.asarray(c[..., 0].T.copy()), jnp_.asarray(c[..., 1].T.copy())
+
+            st["acc1_re"], st["acc1_im"] = unflat(b1)
+            if b2 is not None and "acc2_re" in st:
+                st["acc2_re"], st["acc2_im"] = unflat(b2)
+        st["sampled_step"] = jnp_.asarray(np.int32(sampled_steps_done))
+        st["compressed_step"] = jnp_.asarray(np.int32(sampled_steps_done // o_size))
+        new[s.name] = st
+    return new
+
+
+def restore_aggregates_from_file(
+    states: dict[str, Any], specs: list[StreamSpec], h5file, sampled_steps_done: int
+) -> dict[str, Any]:
+    """Aggregates are flushed RAW (pre-postProcess) to the output file at checkpoint and
+    reloaded on reopen (IndexOutputStream::reopen, IndexOutputStream.cpp:213-231);
+    finalization (rms sqrt/scale) happens only on the last leg."""
+    import jax.numpy as jnp_
+
+    new = dict(states)
+    if sampled_steps_done <= 0:
+        return new
+    for s in specs:
+        if s.op in ("rms", "max", "min", "max_all", "min_all"):
+            new[s.name] = jnp_.asarray(
+                np.asarray(h5file[s.name], np.float32).reshape(-1)
+            )
+    return new
+
+
+def raw_aggregates(states: dict[str, Any], specs: list[StreamSpec]) -> dict[str, np.ndarray]:
+    """Un-finalized aggregate buffers for a checkpoint-leg flush."""
+    return {
+        s.name: np.asarray(states[s.name])
+        for s in specs
+        if s.op in ("rms", "max", "min", "max_all", "min_all")
+    }
+
+
+# ---------------------------------------------------------------------------
 # Host-side writer
 # ---------------------------------------------------------------------------
 
@@ -263,12 +380,25 @@ class StreamWriter:
         sampled_steps: int,
         basis: Optional[CompressionBasis],
         compression_level: int = 0,
+        reopen: bool = False,
+        rows_done: int = 0,
     ):
+        """`reopen` attaches to the existing datasets of a checkpointed run and seeks each
+        stream to its resume position (IndexOutputStream::reopen,
+        IndexOutputStream.cpp:202-246: raw rows = sampled steps done, compressed rows =
+        floor(sampled/oSize))."""
         self.f = h5file
         self.specs = {s.name: s for s in specs}
         self.basis = basis
         self.sampled_steps = sampled_steps
-        self.rows = {name: 0 for name in self.specs}
+        o = basis.o_size if basis is not None else 1
+        self.rows = {
+            s.name: (rows_done if s.op == "raw" else rows_done // o) if reopen else 0
+            for s in specs
+        }
+        if reopen:
+            self.datasets = {s.name: h5file[s.name] for s in specs}
+            return
         self.datasets = {}
         for s in specs:
             if s.op == "raw":

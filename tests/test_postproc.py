@@ -1,0 +1,93 @@
+"""Post-processing tests: time shift, intensity, Q term, and the --post file path."""
+
+import numpy as np
+import h5py
+import jax.numpy as jnp
+
+from kwave_tpu import postproc
+from kwave_tpu.driver import RunConfig, run_simulation
+from kwave_tpu.io.input_file import InputData
+from kwave_tpu.solver import Grid, Medium
+
+
+def test_time_shift_half_step_analytic():
+    """Shifting a sampled sinusoid by dt/2 must match the analytic half-step advance."""
+    t_steps = 64
+    t = np.arange(t_steps)
+    for m in (1, 3, 7):  # integer-period tones are exactly representable
+        w = 2 * np.pi * m / t_steps
+        x = np.cos(w * t).astype(np.float32)[:, None]
+        shifted = np.asarray(postproc.time_shift_half_step(jnp.asarray(x)))[:, 0]
+        expect = np.cos(w * (t + 0.5))
+        np.testing.assert_allclose(shifted, expect, atol=2e-5)
+
+
+def test_avg_intensity_raw_plane_wave():
+    """For p = A cos(wt), u = (A/(rho c)) cos(w(t+1/2 - 1/2)) the intensity is A^2/(2 rho c)."""
+    t_steps, n = 60, 5
+    m = 6
+    w = 2 * np.pi * m / t_steps
+    t = np.arange(t_steps)[:, None]
+    a, rho_c = 1e5, 1.5e6
+    p = (a * np.cos(w * t)).astype(np.float32) * np.ones((1, n), np.float32)
+    # u sampled half a step EARLY (staggered): u[t] = (A/rhoc) cos(w (t - 1/2))
+    u = (a / rho_c * np.cos(w * (t - 0.5))).astype(np.float32) * np.ones((1, n), np.float32)
+    i_avg = np.asarray(postproc.avg_intensity_raw(jnp.asarray(p), jnp.asarray(u)))
+    np.testing.assert_allclose(i_avg, a**2 / (2 * rho_c) * np.ones(n), rtol=1e-5)
+
+
+def test_q_term_analytic():
+    """Q = -dIx/dx for Ix = sin(kx x): Q = -k cos(kx x)."""
+    n = 32
+    dx = 0.5
+    kx = 2 * np.pi * 3 / (n * dx)
+    x = np.arange(n) * dx
+    ix = np.broadcast_to(np.sin(kx * x).astype(np.float32), (n, n)).copy()
+    iy = np.zeros((n, n), np.float32)
+    q = np.asarray(postproc.q_term(jnp.asarray(ix), jnp.asarray(iy), None, dx, dx, dx))
+    np.testing.assert_allclose(q[0], -kx * np.cos(kx * x), atol=1e-3)
+
+
+def _sim_input(nt=60, n=16):
+    grid = Grid(nx=n, ny=n, nz=n, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=nt)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[n // 2, n // 2, n // 2] = 1e5
+    mask = np.sort(np.random.default_rng(5).choice(grid.n_elements, 48, replace=False))
+    return InputData(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+        sensor_mask_index=mask, p0=p0,
+    )
+
+
+def test_i_avg_and_q_term_end_to_end(tmp_path):
+    data = _sim_input()
+    out = str(tmp_path / "out.h5")
+    run = RunConfig(flags={}, i_avg=True, q_term=True, i_avg_c=True,
+                    period=10.0, harmonics=2)
+    run_simulation(data, run, out)
+    with h5py.File(out, "r") as f:
+        # dependency streams auto-enabled
+        assert "p" in f and "ux_non_staggered" in f and "p_c" in f
+        for name in ("Ix_avg", "Iy_avg", "Iz_avg", "Q_term", "Ix_avg_c"):
+            assert name in f, name
+            assert np.isfinite(np.asarray(f[name])).all()
+        # raw-series and coefficient-space intensity agree (coeffs capture the
+        # harmonic content; tolerance loose because of windowing/transients)
+        ix = np.asarray(f["Ix_avg"]).reshape(-1)
+        ixc = np.asarray(f["Ix_avg_c"]).reshape(-1)
+        scale = np.abs(ix).max()
+        assert scale > 0
+        assert np.median(np.abs(ixc - ix)) < 0.5 * scale
+
+
+def test_i_avg_c_40bit(tmp_path):
+    """Coefficient intensity from packed 40-bit streams (beyond the reference's post path)."""
+    data = _sim_input()
+    out = str(tmp_path / "out40.h5")
+    run = RunConfig(flags={}, i_avg_c=True, period=10.0, harmonics=1, mode40=True)
+    run_simulation(data, run, out)
+    with h5py.File(out, "r") as f:
+        assert f["p_c"].attrs["c_complex_size"] == np.float32(1.25)
+        ixc = np.asarray(f["Ix_avg_c"])
+        assert np.isfinite(ixc).all() and np.abs(ixc).max() > 0
