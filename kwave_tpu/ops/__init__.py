@@ -1,0 +1,16 @@
+"""Pallas TPU kernels for the codec hot paths.
+
+The XLA-fused jnp formulations in `kwave_tpu.encoder`/`bitpack` are the reference
+implementations; these kernels keep the whole compression window resident in VMEM:
+
+- `encode_window_float`: both half-window projections as MXU matmuls in one kernel.
+- `encode_window_40b_exact`: the reference's per-step decode->MAC->encode requantization
+  loop (IndexOutputStream.cpp:411-437) without o round trips to HBM.
+"""
+
+from kwave_tpu.ops.encode_pallas import (
+    encode_window_40b_exact,
+    encode_window_float,
+)
+
+__all__ = ["encode_window_float", "encode_window_40b_exact"]
