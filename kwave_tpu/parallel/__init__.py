@@ -11,6 +11,7 @@ from kwave_tpu.parallel.mesh import (
     codec_sharding,
     field_sharding,
     make_mesh,
+    pencil_fft,
     replicated,
     shard_operators,
     shard_state,
@@ -20,6 +21,7 @@ __all__ = [
     "make_mesh",
     "field_sharding",
     "codec_sharding",
+    "pencil_fft",
     "replicated",
     "shard_operators",
     "shard_state",

@@ -59,16 +59,28 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = "space") -> SimState:
     return jax.tree_util.tree_map(put, state)
 
 
-def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "space"
-                    ) -> Operators:
+def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "space",
+                    grid=None, pencil: bool = False) -> Operators:
     """Full-grid operators (kappa, nablas, source_kappa, heterogeneous media) follow the
-    field sharding; per-axis vectors and scalars replicate."""
+    field sharding; per-axis vectors and scalars replicate.
+
+    With ``pencil=True`` (and ``grid`` given), spectral-domain arrays — those with the
+    rfft-reduced x axis — are placed in the pencil FFT's y-sharded spectral layout
+    (kwave_tpu.parallel.fft.spectral_sharding) so the elementwise spectral multiplies in
+    the solver step stay local after dist_rfftn."""
     repl = replicated(mesh)
+    spec_shape = tuple(grid.reduced_shape) if grid is not None else None
+    if pencil:
+        from kwave_tpu.parallel.fft import spectral_sharding
+
+        spec_sh = spectral_sharding(mesh, axis)
 
     def put(x):
         if x is None:
             return None
-        if np.ndim(x) == grid_ndim:  # full-grid (spectral arrays share the leading axes)
+        if pencil and spec_shape is not None and tuple(np.shape(x)) == spec_shape:
+            return jax.device_put(x, spec_sh)
+        if np.ndim(x) == grid_ndim:  # full-grid (real or spectral, z-sharded)
             return jax.device_put(x, field_sharding(mesh, grid_ndim, axis))
         return jax.device_put(x, repl)
 
@@ -77,3 +89,15 @@ def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "spa
         v = getattr(ops, f.name)
         d[f.name] = v if f.name == "dt" else put(v)
     return Operators(**d)
+
+
+def pencil_fft(mesh: Mesh, nx: int, axis: str = "space"):
+    """FftOps bound to this mesh's pencil-decomposed distributed FFT — pass as the
+    solver step/simulate `fft` argument alongside pencil-sharded operators."""
+    from kwave_tpu.parallel import fft as dfft
+    from kwave_tpu.solver.step import FftOps
+
+    return FftOps(
+        rfftn=lambda x: dfft.dist_rfftn(x, mesh, axis),
+        irfftn=lambda xk, shape: dfft.dist_irfftn(xk, shape[-1], mesh, axis),
+    )

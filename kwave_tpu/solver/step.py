@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,20 @@ from kwave_tpu.solver.operators import Grid, Operators
 DIRICHLET = 0
 ADDITIVE_NO_CORRECTION = 1
 ADDITIVE = 2
+
+
+class FftOps(NamedTuple):
+    """Pluggable spectral transform pair: local jnp.fft by default; the distributed
+    pencil FFT (kwave_tpu.parallel.fft) for sharded multi-chip runs."""
+
+    rfftn: Callable[[jax.Array], jax.Array]
+    irfftn: Callable[[jax.Array, tuple[int, ...]], jax.Array]  # (xk, real_shape) -> x
+
+
+LOCAL_FFT = FftOps(
+    rfftn=jnp.fft.rfftn,
+    irfftn=lambda xk, shape: jnp.fft.irfftn(xk, s=shape),
+)
 
 
 @jax.tree_util.register_dataclass
@@ -122,16 +136,17 @@ def _bc(vec: jax.Array, axis_from_end: int, ndim: int) -> jax.Array:
     return vec.reshape(shape)
 
 
-def _grad_fields(field: jax.Array, ops: Operators, ddx, ddy, ddz, shape):
+def _grad_fields(field: jax.Array, ops: Operators, ddx, ddy, ddz, shape,
+                 fft: FftOps = LOCAL_FFT):
     """ifftn(dd*_k_shift * kappa * fftn(field)) for each axis — the shared pattern of
     computePressureGradient (SolverCudaKernels.cu:1139-1199) and computeVelocityGradient
     (:1210-1343), fused with the surrounding FFTs (KSpaceFirstOrderSolver.cpp:2087-2150)."""
     ndim = field.ndim
-    fk = jnp.fft.rfftn(field)
+    fk = fft.rfftn(field)
     fk = fk * ops.kappa
-    gx = jnp.fft.irfftn(fk * _bc(ddx, 0, ndim), s=shape)
-    gy = jnp.fft.irfftn(fk * _bc(ddy, 1, ndim), s=shape)
-    gz = jnp.fft.irfftn(fk * _bc(ddz, 2, ndim), s=shape) if ddz is not None else None
+    gx = fft.irfftn(fk * _bc(ddx, 0, ndim), shape)
+    gy = fft.irfftn(fk * _bc(ddy, 1, ndim), shape)
+    gz = fft.irfftn(fk * _bc(ddz, 2, ndim), shape) if ddz is not None else None
     return gx, gy, gz
 
 
@@ -153,13 +168,13 @@ def _apply_point_source(field, index, value, mode: int):
     return flat.reshape(field.shape)
 
 
-def _scale_additive_source(index, value, ops: Operators, shape):
+def _scale_additive_source(index, value, ops: Operators, shape, fft: FftOps = LOCAL_FFT):
     """Additive-mode source dispersion correction: scatter to the full grid, multiply by
     source_kappa in k-space, inverse transform (KSpaceFirstOrderSolver::scaleSource,
     KSpaceFirstOrderSolver.cpp:2339-2354)."""
     scaled = jnp.zeros(shape, jnp.float32).reshape(-1).at[index].set(value).reshape(shape)
-    sk = jnp.fft.rfftn(scaled) * ops.source_kappa
-    return jnp.fft.irfftn(sk, s=shape)
+    sk = fft.rfftn(scaled) * ops.source_kappa
+    return fft.irfftn(sk, shape)
 
 
 # ---------------------------------------------------------------------------
@@ -173,16 +188,18 @@ def step(
     ops: Operators,
     src: Sources,
     cfg: SolverConfig,
+    fft: FftOps = LOCAL_FFT,
 ) -> SimState:
     """One main-loop iteration (computeMainLoop body, KSpaceFirstOrderSolver.cpp:885-935)."""
     is3d = state.uz_sgz is not None
     shape = state.p.shape
     ndim = state.p.ndim
-    n_el = state.p.size
 
     # -- velocity update (computeVelocity :2087-2119; kernel SolverCudaKernels.cu:184-216):
     # u = pml_sg * (pml_sg * u - dt/rho0_sg * ifft(ddk_pos * kappa * fft(p)))
-    dpx, dpy, dpz = _grad_fields(state.p, ops, ops.ddx_pos, ops.ddy_pos, ops.ddz_pos, shape)
+    dpx, dpy, dpz = _grad_fields(
+        state.p, ops, ops.ddx_pos, ops.ddy_pos, ops.ddz_pos, shape, fft
+    )
     pml_x_sg = _bc(ops.pml_x_sgx, 0, ndim)
     pml_y_sg = _bc(ops.pml_y_sgy, 1, ndim)
     ux = (state.ux_sgx * pml_x_sg - ops.dt_rho0_sgx * dpx) * pml_x_sg
@@ -198,7 +215,7 @@ def step(
         def add_u(u, signal):
             val = _source_value(signal, t, cfg.u_source_many, src.u_index.shape[0])
             if cfg.u_source_mode == ADDITIVE:
-                return u + _scale_additive_source(src.u_index, val, ops, shape)
+                return u + _scale_additive_source(src.u_index, val, ops, shape, fft)
             return _apply_point_source(u, src.u_index, val, cfg.u_source_mode)
 
         active = t < cfg.u_source_flag
@@ -221,12 +238,10 @@ def step(
     # -- velocity gradient (computeVelocityGradient :2126-2150): per-axis
     # duxdx = ifft(ddx_neg * kappa * fft(ux)) etc.
     kap = ops.kappa
-    duxdx = jnp.fft.irfftn(jnp.fft.rfftn(ux) * kap * _bc(ops.ddx_neg, 0, ndim), s=shape)
-    duydy = jnp.fft.irfftn(jnp.fft.rfftn(uy) * kap * _bc(ops.ddy_neg, 1, ndim), s=shape)
+    duxdx = fft.irfftn(fft.rfftn(ux) * kap * _bc(ops.ddx_neg, 0, ndim), shape)
+    duydy = fft.irfftn(fft.rfftn(uy) * kap * _bc(ops.ddy_neg, 1, ndim), shape)
     if is3d:
-        duzdz = jnp.fft.irfftn(
-            jnp.fft.rfftn(uz) * kap * _bc(ops.ddz_neg, 2, ndim), s=shape
-        )
+        duzdz = fft.irfftn(fft.rfftn(uz) * kap * _bc(ops.ddz_neg, 2, ndim), shape)
 
     # -- density update (computeDensityNonliner/Linear :2157-2173; kernels :1358/:1470)
     pml_x = _bc(ops.pml_x, 0, ndim)
@@ -249,7 +264,7 @@ def step(
         val = _source_value(src.p_signal, t, cfg.p_source_many, src.p_index.shape[0])
         active = t < cfg.p_source_flag
         if cfg.p_source_mode == ADDITIVE:
-            scaled = _scale_additive_source(src.p_index, val, ops, shape)
+            scaled = _scale_additive_source(src.p_index, val, ops, shape, fft)
             rx = jnp.where(active, rx + scaled, rx)
             ry = jnp.where(active, ry + scaled, ry)
             if is3d:
@@ -269,10 +284,8 @@ def step(
     du_sum = duxdx + duydy + (duzdz if is3d else 0.0)
     if cfg.absorbing:
         vel_grad_sum = ops.rho0 * du_sum
-        tau_term = jnp.fft.irfftn(
-            jnp.fft.rfftn(vel_grad_sum) * ops.absorb_nabla1, s=shape
-        )
-        eta_term = jnp.fft.irfftn(jnp.fft.rfftn(rho_sum) * ops.absorb_nabla2, s=shape)
+        tau_term = fft.irfftn(fft.rfftn(vel_grad_sum) * ops.absorb_nabla1, shape)
+        eta_term = fft.irfftn(fft.rfftn(rho_sum) * ops.absorb_nabla2, shape)
         if cfg.nonlinear:
             nonlin = (ops.bona * rho_sum * rho_sum) / (2.0 * ops.rho0) + rho_sum
             p = ops.c2 * (nonlin + ops.absorb_tau * tau_term - ops.absorb_eta * eta_term)
@@ -289,7 +302,7 @@ def step(
     # -- initial pressure at t==0 (addInitialPressureSource :2359-2400)
     if cfg.p0_source_flag:
         new = lax.cond(
-            t == 0, lambda s: add_initial_pressure(s, ops, src.p0), lambda s: s, new
+            t == 0, lambda s: add_initial_pressure(s, ops, src.p0, fft), lambda s: s, new
         )
     return new
 
@@ -317,7 +330,8 @@ def shifted_velocity(state: SimState, ops: Operators):
     return ux, uy, uz
 
 
-def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array) -> SimState:
+def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array,
+                         fft: FftOps = LOCAL_FFT) -> SimState:
     """p = p0; rho_i = p0/(dim*c^2); u_sg = 0.5 * dt/rho0_sg * ifft(ddk_pos*kappa*fft(p0))
     (addInitialPressureSource, KSpaceFirstOrderSolver.cpp:2359-2400; kernels
     SolverCudaKernels.cu:854-935 and the 0.5*fftDivider*dtRho0 initial-velocity kernels)."""
@@ -325,7 +339,7 @@ def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array) -> SimS
     shape = p0.shape
     dim = 3 if is3d else 2
     rho_part = p0 / (jnp.float32(dim) * ops.c2)
-    gx, gy, gz = _grad_fields(p0, ops, ops.ddx_pos, ops.ddy_pos, ops.ddz_pos, shape)
+    gx, gy, gz = _grad_fields(p0, ops, ops.ddx_pos, ops.ddy_pos, ops.ddz_pos, shape, fft)
     half = jnp.float32(0.5)
     return SimState(
         p=p0,
@@ -343,7 +357,9 @@ def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array) -> SimS
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "sample_fn", "t0"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "sample_fn", "t0", "fft")
+)
 def simulate(
     state: SimState,
     ops: Operators,
@@ -352,6 +368,7 @@ def simulate(
     n_steps: int,
     sample_fn: Optional[Callable[[SimState], Any]] = None,
     t0: int = 0,
+    fft: FftOps = LOCAL_FFT,
 ):
     """Run ``n_steps`` iterations from time index ``t0`` via lax.scan.
 
@@ -363,7 +380,7 @@ def simulate(
     """
 
     def body(carry, t):
-        new = step(carry, t, ops, src, cfg)
+        new = step(carry, t, ops, src, cfg, fft)
         out = sample_fn(new) if sample_fn is not None else None
         return new, out
 

@@ -1,0 +1,56 @@
+"""Sharded solver step with the pencil FFT vs the single-device step — identical physics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kwave_tpu.parallel import (
+    make_mesh,
+    pencil_fft,
+    shard_operators,
+    shard_state,
+)
+from kwave_tpu.solver import (
+    Grid,
+    Medium,
+    SolverConfig,
+    Sources,
+    init_state,
+    make_operators,
+    simulate,
+)
+
+
+@pytest.fixture
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh(8)
+
+
+def test_pencil_step_matches_local(mesh):
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=12)
+    rng = np.random.default_rng(0)
+    c0 = (1500.0 + 50.0 * rng.random(grid.shape)).astype(np.float32)
+    medium = Medium(c0=c0, rho0=1000.0, alpha_coeff=0.5, alpha_power=1.5)
+    ops = make_operators(grid, medium, (4, 4, 4), (2.0,) * 3, absorbing=True)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    cfg = SolverConfig(p0_source_flag=True, absorbing=True)
+    src = Sources(p0=jnp.asarray(p0))
+
+    ref, _ = simulate(init_state(grid), ops, src, cfg, 10)
+
+    ops_s = shard_operators(ops, 3, mesh, grid=grid, pencil=True)
+    state_s = shard_state(init_state(grid), mesh)
+    src_s = Sources(p0=jax.device_put(jnp.asarray(p0), state_s.p.sharding))
+    fft = pencil_fft(mesh, grid.nx)
+    with mesh:
+        got, _ = simulate(state_s, ops_s, src_s, cfg, 10, fft=fft)
+
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got.ux_sgx), np.asarray(ref.ux_sgx),
+                               rtol=1e-5, atol=1e-8)
