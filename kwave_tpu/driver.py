@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time as _time
 from typing import Any, Optional
 
 import jax
@@ -171,6 +172,17 @@ def run_simulation(
     """Full compute(): load -> preprocess -> windowed main loop -> aggregates -> output.
 
     Returns a summary dict (dataset names -> shapes written)."""
+    from kwave_tpu.utils.observability import (
+        Logger,
+        PhaseTimers,
+        read_cumulated_times,
+        write_run_info,
+    )
+
+    timers = PhaseTimers()
+    timers.start("total")
+    timers.start("preprocessing")
+
     grid, medium = data.grid, data.medium
     is3d = grid.dim == 3
 
@@ -285,7 +297,12 @@ def run_simulation(
             f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
             run.compression_level,
         )
+    if ck is not None:
+        timers.restore_cumulated(read_cumulated_times(f))
     window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy)
+    timers.stop("preprocessing")
+    timers.start("simulation")
+    wall0 = _time.time()
 
     # lead-in: steps before sampling starts (reference skips storage until t >= s,
     # KSpaceFirstOrderSolver.cpp:1060-1068)
@@ -293,17 +310,27 @@ def run_simulation(
     if run.sampling_start > t:
         from kwave_tpu.solver import simulate
 
+        t_lead = _time.time()
         sim_state, _ = simulate(sim_state, ops, src, cfg, run.sampling_start - t, t0=t)
+        jax.block_until_ready(sim_state.p)
+        dt_lead = _time.time() - t_lead
+        for _ in range(run.sampling_start - t):
+            timers.add_iteration(dt_lead / (run.sampling_start - t), sampled=False)
         t = run.sampling_start
 
     n_windows = (grid.nt - t) // o
     interrupted = False
     for w in range(n_windows):
+        t_it = _time.time()
         sim_state, stream_states, emissions = window(
             sim_state, stream_states, jnp.int32(t), ops, src, mask
         )
         writer.flush_emissions(emissions)
+        dt_it = _time.time() - t_it
+        for _ in range(o):
+            timers.add_iteration(dt_it / o, sampled=True)
         t += o
+        Logger.progress(t - t0, grid.nt - t0, wall0)
         if (
             run.checkpoint_interval_steps is not None
             and run.checkpoint_file is not None
@@ -330,6 +357,9 @@ def run_simulation(
         )
         summary = {name: writer.datasets[name].shape for name in writer.datasets}
         summary["__checkpointed_at__"] = (t,)
+        timers.stop("simulation")
+        timers.stop("total")
+        write_run_info(f, timers, file_path=output_path)  # cumulated times for next leg
         f.close()
         return summary
     # trailing steps (< one window): advance state; raw rows still stored
@@ -347,6 +377,8 @@ def run_simulation(
             writer.flush_emissions({s.name: np.asarray(tail[s.source]) for s in raw_specs})
         t += rem
 
+    timers.stop("simulation")
+    timers.start("postprocessing")
     writer.flush_aggregates(
         streams_mod.finalize_aggregates(stream_states, specs, sampled_steps)
     )
@@ -381,6 +413,13 @@ def run_simulation(
                 output_path, grid, mask_np,
                 want_i_avg=run.i_avg_c, want_q_term=run.q_term_c, from_coeffs=True,
             )
+
+    timers.stop("postprocessing")
+    timers.stop("total")
+    import h5py
+
+    with h5py.File(output_path, "r+") as fo:
+        write_run_info(fo, timers, file_path=output_path)
     return summary
 
 

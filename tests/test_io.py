@@ -176,3 +176,27 @@ def test_checkpoint_roundtrip(tmp_path):
     with h5py.File(path, "r") as f:
         assert read_attr(f, names.FILE_TYPE) == "checkpoint"
         assert "Temp_p_c_1" in f and "Temp_p_c_2" in f
+
+
+def test_run_info_attributes(tmp_path):
+    """Execution-statistics attribute block on the output file (writeOutputDataInfo parity)."""
+    import jax.numpy as jnp
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io.input_file import InputData as ID2
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=20)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    data = ID2(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+        sensor_mask_index=np.arange(10, dtype=np.int64), p0=p0,
+    )
+    out = str(tmp_path / "out.h5")
+    run_simulation(data, RunConfig(flags=dict(p_raw=True)), out)
+    with h5py.File(out) as f:
+        for attr in ("total_execution_time", "simulation_phase_execution_time",
+                     "average_sampling_iteration_time", "sampling_time",
+                     "number_of_cpu_cores"):
+            assert attr in f.attrs, attr
+        assert f.attrs["total_execution_time"] > 0
