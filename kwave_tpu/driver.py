@@ -244,12 +244,18 @@ def run_simulation(
         delay_mask=jnp.asarray(data.delay_mask) if data.delay_mask is not None else None,
     )
 
+    cuboid_shapes = None
     if data.sensor_mask_index is not None:
         mask = jnp.asarray(data.sensor_mask_index.astype(np.int32))
     else:
-        # cuboid corners -> flat indices (CuboidOutputStream samples cuboids; the driver
-        # currently linearizes them through one index mask — same bytes, one gather)
+        # cuboid corners -> one linearized index gather on device; the writer splits
+        # emissions back into the reference's per-cuboid group layout
+        # (CuboidOutputStream.cpp:656-722)
         mask = jnp.asarray(_corners_to_indices(data.sensor_mask_corners, grid))
+        cuboid_shapes = [
+            (int(x2 - x1 + 1), int(y2 - y1 + 1), int(z2 - z1 + 1))
+            for x1, y1, z1, x2, y2, z2 in data.sensor_mask_corners
+        ]
     n_sensors = int(mask.shape[0])
 
     sim_state = init_state(grid)
@@ -284,6 +290,7 @@ def run_simulation(
         writer = StreamWriter(
             f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
             run.compression_level, reopen=True, rows_done=sampled_done,
+            cuboid_shapes=cuboid_shapes,
         )
         stream_states = streams_mod.restore_stream_states(
             stream_states, ck["stream_coeffs"], specs, sampled_done, o
@@ -295,7 +302,7 @@ def run_simulation(
         f = create_output_file(output_path)
         writer = StreamWriter(
             f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
-            run.compression_level,
+            run.compression_level, cuboid_shapes=cuboid_shapes,
         )
     if ck is not None:
         timers.restore_cumulated(read_cumulated_times(f))
@@ -355,7 +362,11 @@ def run_simulation(
                 stream_states, specs, n_sensors
             ),
         )
-        summary = {name: writer.datasets[name].shape for name in writer.datasets}
+        summary = {
+            name: (ds.shape if hasattr(ds, "shape")
+                   else {k: v.shape for k, v in ds.items()})
+            for name, ds in writer.datasets.items()
+        }
         summary["__checkpointed_at__"] = (t,)
         timers.stop("simulation")
         timers.stop("total")
@@ -396,7 +407,11 @@ def run_simulation(
             (grid.nx, grid.ny, grid.nz),
         )
 
-    summary = {name: writer.datasets[name].shape for name in writer.datasets}
+    summary = {
+        name: (ds.shape if hasattr(ds, "shape")
+               else {k: v.shape for k, v in ds.items()})
+        for name, ds in writer.datasets.items()
+    }
     f.close()
 
     if run.i_avg or run.q_term or run.i_avg_c or run.q_term_c:

@@ -37,6 +37,7 @@ from kwave_tpu.io.output_file import (
     CompressionAttrs,
     create_aggregate_dataset,
     create_compressed_dataset,
+    create_cuboid_group,
     create_raw_dataset,
 )
 
@@ -382,15 +383,23 @@ class StreamWriter:
         compression_level: int = 0,
         reopen: bool = False,
         rows_done: int = 0,
+        cuboid_shapes: Optional[list[tuple[int, int, int]]] = None,
     ):
         """`reopen` attaches to the existing datasets of a checkpointed run and seeks each
         stream to its resume position (IndexOutputStream::reopen,
         IndexOutputStream.cpp:202-246: raw rows = sampled steps done, compressed rows =
-        floor(sampled/oSize))."""
+        floor(sampled/oSize)).
+
+        `cuboid_shapes` [(cx, cy, cz), ...] switches raw/compressed streams to the
+        reference's cuboid layout: an HDF5 group per stream with per-cuboid 4D datasets
+        "1", "2", ... (CuboidOutputStream.cpp:656-722); the device pipeline still samples
+        the linearized point list (one gather), and the writer splits each emission row
+        back into cuboid blocks."""
         self.f = h5file
         self.specs = {s.name: s for s in specs}
         self.basis = basis
         self.sampled_steps = sampled_steps
+        self.cuboid_shapes = cuboid_shapes
         o = basis.o_size if basis is not None else 1
         self.rows = {
             s.name: (rows_done if s.op == "raw" else rows_done // o) if reopen else 0
@@ -401,11 +410,8 @@ class StreamWriter:
             return
         self.datasets = {}
         for s in specs:
-            if s.op == "raw":
-                self.datasets[s.name] = create_raw_dataset(
-                    h5file, s.name, n_sensors, sampled_steps, compression_level
-                )
-            elif s.op == "c":
+            attrs = None
+            if s.op == "c":
                 attrs = CompressionAttrs(
                     harmonics=basis.harmonics,
                     period=basis.period,
@@ -414,6 +420,16 @@ class StreamWriter:
                     complex_size=s.complex_size(),
                     max_exp=s.e_const(),
                 )
+            if s.op in ("raw", "c") and cuboid_shapes is not None:
+                self.datasets[s.name] = create_cuboid_group(
+                    h5file, s.name, cuboid_shapes, sampled_steps, attrs=attrs,
+                    compression_level=compression_level,
+                )
+            elif s.op == "raw":
+                self.datasets[s.name] = create_raw_dataset(
+                    h5file, s.name, n_sensors, sampled_steps, compression_level
+                )
+            elif s.op == "c":
                 self.datasets[s.name] = create_compressed_dataset(
                     h5file, s.name, n_sensors, sampled_steps, attrs, compression_level
                 )
@@ -426,6 +442,20 @@ class StreamWriter:
                     h5file, s.name, n_grid, compression_level
                 )
 
+    def _write_cuboid_rows(self, grp, spec, rows: np.ndarray, row0: int, values_per_pt):
+        """Split linearized rows [n_rows, Npts*vpp] into per-cuboid 4D blocks
+        (point order: cuboid-concatenated, x fastest — driver._corners_to_indices)."""
+        n_rows = rows.shape[0]
+        off = 0
+        for ci, (cx, cy, cz) in enumerate(self.cuboid_shapes):
+            npts = cx * cy * cz
+            blk = rows[:, off * values_per_pt : (off + npts) * values_per_pt]
+            ds = grp[str(ci + 1)]
+            n = min(n_rows, ds.shape[0] - row0)
+            if n > 0:
+                ds[row0 : row0 + n, ...] = blk[:n].reshape(n, cz, cy, cx * values_per_pt)
+            off += npts
+
     def flush_emissions(self, emissions: dict[str, Any]) -> None:
         """Write raw rows / one coefficient frame per compressed stream."""
         for name, data in emissions.items():
@@ -436,23 +466,64 @@ class StreamWriter:
             if spec.op == "raw":
                 rows = np.asarray(data)
                 n = rows.shape[0]
+                if self.cuboid_shapes is not None:
+                    self._write_cuboid_rows(ds, spec, rows, self.rows[name], 1)
+                    self.rows[name] += n
+                    continue
                 limit = ds.shape[1] - self.rows[name]
                 n = min(n, limit)
                 if n > 0:
                     ds[0, self.rows[name] : self.rows[name] + n, :] = rows[:n]
                     self.rows[name] += n
             elif spec.op == "c":
-                if self.rows[name] >= ds.shape[1]:
-                    continue
                 if spec.mode40:
                     flat = encoder.frames_to_flat_40b(*data)
-                    # 5-byte AoS stream -> float32 row (zero-padded to mSize floats)
+                    if self.cuboid_shapes is not None:
+                        # 40-bit cuboid rows are per-cuboid byte runs
+                        self._write_cuboid_40b(ds, flat, self.rows[name])
+                        self.rows[name] += 1
+                        continue
+                    if self.rows[name] >= ds.shape[1]:
+                        continue
                     row = np.zeros(ds.shape[2], np.float32)
                     row.view(np.uint8)[: flat.size] = flat
+                    ds[0, self.rows[name], :] = row.reshape(-1)
+                    self.rows[name] += 1
                 else:
                     row = encoder.frames_to_flat_float(*data)
-                ds[0, self.rows[name], :] = row.reshape(-1)
-                self.rows[name] += 1
+                    if self.cuboid_shapes is not None:
+                        h = self.basis.harmonics
+                        self._write_cuboid_rows(
+                            ds, spec, row.reshape(1, -1), self.rows[name], 2 * h
+                        )
+                        self.rows[name] += 1
+                        continue
+                    if self.rows[name] >= ds.shape[1]:
+                        continue
+                    ds[0, self.rows[name], :] = row.reshape(-1)
+                    self.rows[name] += 1
+
+    def _write_cuboid_40b(self, grp, flat_bytes: np.ndarray, row0: int) -> None:
+        """One 40-bit frame into per-cuboid datasets: each point contributes 5*H bytes."""
+        h = self.basis.harmonics
+        off_pts = 0
+        for ci, (cx, cy, cz) in enumerate(self.cuboid_shapes):
+            npts = cx * cy * cz
+            ds = grp[str(ci + 1)]
+            if row0 >= ds.shape[0]:
+                off_pts += npts
+                continue
+            byte_run = flat_bytes[off_pts * 5 * h : (off_pts + npts) * 5 * h]
+            # row-x size in floats: ceil(cx*1.25)*h per (y,z); bytes per x-row: 5*cx*h
+            out = np.zeros(ds.shape[1:], np.float32)
+            bpr = 5 * cx * h
+            run = byte_run.reshape(cz, cy, bpr)
+            flat_view = out.reshape(cz, cy, -1)
+            for z in range(cz):
+                for y in range(cy):
+                    flat_view[z, y].view(np.uint8)[:bpr] = run[z, y]
+            ds[row0, ...] = out
+            off_pts += npts
 
     def flush_aggregates(self, finals: dict[str, np.ndarray]) -> None:
         for name, data in finals.items():

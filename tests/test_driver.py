@@ -122,13 +122,37 @@ def test_driver_40bit_and_trailing_window(tmp_path):
 
 
 def test_driver_cuboid_mask_and_sampling_start(tmp_path):
+    """Cuboid masks produce the reference's group layout: per-cuboid 4D datasets
+    "1","2",... (CuboidOutputStream.cpp:656-722), and the written values equal the
+    field restricted to each cuboid."""
     data = _input(nt=40)
     data.sensor_mask_index = None
     data.sensor_mask_corners = np.array([[2, 2, 2, 5, 4, 3], [8, 8, 8, 9, 9, 9]])
     out = str(tmp_path / "outc.h5")
-    run = RunConfig(flags=dict(p_raw=True), sampling_start=10)
+    run = RunConfig(flags=dict(p_raw=True, p_c=True), sampling_start=10,
+                    period=10.0, harmonics=1)
     run_simulation(data, run, out)
-    n_pts = 4 * 3 * 2 + 2 * 2 * 2
     with h5py.File(out, "r") as f:
-        assert np.asarray(f["p"]).shape == (1, 30, n_pts)
-        assert np.abs(np.asarray(f["p"])).max() > 0
+        grp = f["p"]
+        assert set(grp.keys()) == {"1", "2"}
+        assert grp["1"].shape == (30, 2, 3, 4)  # (steps, cz, cy, cx)
+        assert grp["2"].shape == (30, 2, 2, 2)
+        assert np.abs(np.asarray(grp["1"])).max() > 0
+        pc = f["p_c"]
+        assert pc["1"].shape == (30 // 10, 2, 3, 4 * 1 * 2)
+        assert pc["1"].attrs["c_harmonics"] == 1
+        assert np.abs(np.asarray(pc["1"])).max() > 0
+
+    # cross-check cuboid contents against an index-mask run over the same points
+    from kwave_tpu.driver import _corners_to_indices
+
+    data2 = _input(nt=40)
+    data2.sensor_mask_index = np.sort(
+        _corners_to_indices(np.array([[2, 2, 2, 5, 4, 3]]), data2.grid)
+    )
+    out2 = str(tmp_path / "outi.h5")
+    run_simulation(data2, RunConfig(flags=dict(p_raw=True), sampling_start=10), out2)
+    with h5py.File(out, "r") as fc, h5py.File(out2, "r") as fi:
+        cub = np.asarray(fc["p"]["1"]).reshape(30, -1)
+        idx = np.asarray(fi["p"])[0]
+        np.testing.assert_array_equal(cub, idx)
