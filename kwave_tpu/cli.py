@@ -25,6 +25,29 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     data = read_input_file(args.input_file)
+
+    if args.post:
+        # --post: post-processing only on an existing output file (main.cpp --post;
+        # Parameters.cpp:525-546 re-reads c_* attrs from the output — our reader takes
+        # them from the datasets directly)
+        from kwave_tpu.postproc import post_process_output_file
+
+        mask = data.sensor_mask_index
+        if mask is None:
+            from kwave_tpu.driver import _corners_to_indices
+
+            mask = _corners_to_indices(data.sensor_mask_corners, data.grid)
+        if args.I_avg or args.Q_term:
+            post_process_output_file(args.output_file, data.grid, mask,
+                                     want_i_avg=args.I_avg, want_q_term=args.Q_term,
+                                     from_coeffs=False)
+        if args.I_avg_c or args.Q_term_c:
+            post_process_output_file(args.output_file, data.grid, mask,
+                                     want_i_avg=args.I_avg_c, want_q_term=args.Q_term_c,
+                                     from_coeffs=True)
+        print(f"[kwave_tpu] post-processing done in {time.time() - t0:.2f}s")
+        return 0
+
     if args.benchmark is not None:
         # --benchmark truncates Nt (Parameters.cpp:130-133)
         import dataclasses
@@ -44,6 +67,29 @@ def main(argv=None) -> int:
         if args.checkpoint_file and _checkpoint_exists(args.checkpoint_file) else None,
     )
     sim_s = time.time() - t1
+
+    if args.copy_sensor_mask:
+        # --copy_sensor_mask: carry the mask into the output file (1-based on disk, as
+        # in the input format)
+        import h5py
+        import numpy as np
+
+        from kwave_tpu.io import names as dn
+        from kwave_tpu.io.hdf5 import tag_dataset
+
+        with h5py.File(args.output_file, "r+") as f:
+            if data.sensor_mask_index is not None:
+                ds = f.create_dataset(
+                    dn.SENSOR_MASK_INDEX,
+                    data=(data.sensor_mask_index.astype(np.uint64) + 1)[None, None, :],
+                )
+                tag_dataset(ds, data=dn.DATA_LONG)
+            elif data.sensor_mask_corners is not None:
+                ds = f.create_dataset(
+                    dn.SENSOR_MASK_CORNERS,
+                    data=(data.sensor_mask_corners.astype(np.uint64) + 1)[None, :, :],
+                )
+                tag_dataset(ds, data=dn.DATA_LONG)
 
     if args.verbose >= 0:
         print(f"[kwave_tpu] load {load_s:.2f}s  simulate+store {sim_s:.2f}s")

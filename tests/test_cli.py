@@ -49,3 +49,31 @@ def test_cli_benchmark_truncates(tmp_path):
     assert rc == 0
     with h5py.File(out, "r") as f:
         assert np.asarray(f["p"]).shape == (1, 20, 10)
+
+
+def test_cli_post_mode_and_copy_mask(tmp_path):
+    """--copy_sensor_mask embeds the mask; --post computes I_avg on the existing output."""
+    n = 16
+    grid = Grid(nx=n, ny=n, nz=n, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    mask = np.sort(np.random.default_rng(1).choice(grid.n_elements, 24, replace=False))
+    inp = str(tmp_path / "in.h5")
+    out = str(tmp_path / "out.h5")
+    write_input_file(inp, InputData(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+        sensor_mask_index=mask, p0=p0,
+    ))
+    rc = main(["-i", inp, "-o", out, "--p_raw", "--u_non_staggered_raw",
+               "--copy_sensor_mask"])
+    assert rc == 0
+    with h5py.File(out, "r") as f:
+        assert "sensor_mask_index" in f
+        assert np.asarray(f["sensor_mask_index"]).min() >= 1
+
+    rc = main(["-i", inp, "-o", out, "--post", "--I_avg", "--Q_term"])
+    assert rc == 0
+    with h5py.File(out, "r") as f:
+        for name in ("Ix_avg", "Iy_avg", "Iz_avg", "Q_term"):
+            assert name in f and np.isfinite(np.asarray(f[name])).all()

@@ -156,3 +156,27 @@ def test_driver_cuboid_mask_and_sampling_start(tmp_path):
         cub = np.asarray(fc["p"]["1"]).reshape(30, -1)
         idx = np.asarray(fi["p"])[0]
         np.testing.assert_array_equal(cub, idx)
+
+
+def test_driver_2d_end_to_end(tmp_path):
+    """2D simulation through the full driver (the reference's SD::k2D path)."""
+    grid = Grid(nx=24, ny=24, nz=1, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[12, 12] = 1e5
+    mask = np.sort(np.random.default_rng(2).choice(grid.n_elements, 30, replace=False))
+    data = InputData(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4), pml_alpha=(2.0, 2.0),
+        sensor_mask_index=mask, p0=p0,
+    )
+    out = str(tmp_path / "out2d.h5")
+    run = RunConfig(flags=dict(p_raw=True, p_c=True, u_raw=True, p_max=True),
+                    period=10.0, harmonics=2)
+    run_simulation(data, run, out)
+    series = None
+    with h5py.File(out, "r") as f:
+        assert np.asarray(f["p"]).shape == (1, 40, 30)
+        assert np.asarray(f["p_c"]).shape == (1, 4, 30 * 2 * 2)
+        assert "ux" in f and "uy" in f and "uz" not in f
+        series = np.asarray(f["p"])[0]
+    assert np.isfinite(series).all() and np.abs(series).max() > 0
