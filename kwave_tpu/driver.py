@@ -215,6 +215,7 @@ def run_simulation(
         absorbing=data.absorbing,
         need_source_kappa=bool(need_additive),
         need_shift=streams_mod.needs_shifted_velocity(specs),
+        nonuniform=data.nonuniform_maps if data.nonuniform else None,
     )
     cfg = SolverConfig(
         nonlinear=data.nonlinear,

@@ -66,6 +66,9 @@ class InputData:
     transducer_source_input: Optional[np.ndarray] = None
     transducer_source_flag: int = 0
     delay_mask: Optional[np.ndarray] = None
+    # non-uniform grid stretch maps: dict with keys dxudxn/dyudyn/dzudzn and the
+    # *_sgx/_sgy/_sgz staggered variants (per-axis vectors)
+    nonuniform_maps: Optional[dict] = None
 
     def u_source_flag_any(self) -> bool:
         return bool(self.ux_source_flag or self.uy_source_flag or self.uz_source_flag)
@@ -150,6 +153,16 @@ def write_input_file(path: str, data: InputData) -> None:
         if data.absorbing:
             write_scalar(f, names.ALPHA_POWER, float(medium.alpha_power), np.float32)
             _write_medium_entry(f, names.ALPHA_COEFF, medium.alpha_coeff, grid)
+        # non-uniform grid stretch vectors (dims: x -> (1,1,nx), y -> (1,ny,1), z -> (nz,1,1))
+        if data.nonuniform and data.nonuniform_maps:
+            dims3 = {
+                names.DXUDXN: (1, 1, grid.nx), names.DXUDXN_SGX: (1, 1, grid.nx),
+                names.DYUDYN: (1, grid.ny, 1), names.DYUDYN_SGY: (1, grid.ny, 1),
+                names.DZUDZN: (grid.nz, 1, 1), names.DZUDZN_SGZ: (grid.nz, 1, 1),
+            }
+            for nm, v in data.nonuniform_maps.items():
+                ds = create_dataset(f, nm, dims3[nm])
+                ds[...] = np.asarray(v, np.float32).reshape(dims3[nm])
         # sensors (1-based in file)
         if data.sensor_mask_index is not None:
             write_scalar(f, names.SENSOR_MASK_TYPE, 0)
@@ -283,6 +296,15 @@ def read_input_file(path: str) -> InputData:
         def read_idx(name):
             return (np.asarray(f[name], np.int64).reshape(-1) - 1) if name in f else None
 
+        nonuniform = bool(read_scalar(f, names.NONUNIFORM_GRID_FLAG))
+        nonuniform_maps = None
+        if nonuniform:
+            nonuniform_maps = {}
+            for nm in (names.DXUDXN, names.DYUDYN, names.DZUDZN,
+                       names.DXUDXN_SGX, names.DYUDYN_SGY, names.DZUDZN_SGZ):
+                if nm in f:
+                    nonuniform_maps[nm] = np.asarray(f[nm], np.float32).reshape(-1)
+
         p0_flag = bool(read_scalar(f, names.P0_SOURCE_FLAG))
         p0 = None
         if p0_flag and names.P0_SOURCE_INPUT in f:
@@ -295,7 +317,8 @@ def read_input_file(path: str) -> InputData:
             pml_alpha=pml_alpha,
             nonlinear=nonlinear,
             absorbing=absorbing,
-            nonuniform=bool(read_scalar(f, names.NONUNIFORM_GRID_FLAG)),
+            nonuniform=nonuniform,
+            nonuniform_maps=nonuniform_maps,
             sensor_mask_index=mask_index,
             sensor_mask_corners=mask_corners,
             p0=p0,

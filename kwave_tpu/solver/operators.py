@@ -126,6 +126,12 @@ class Operators:
     shift_x_neg: Optional[np.ndarray] = None
     shift_y_neg: Optional[np.ndarray] = None
     shift_z_neg: Optional[np.ndarray] = None
+    # non-uniform grid stretch maps du/dxi (regular points; dxudxn/dyudyn/dzudzn,
+    # MatrixContainer.cpp:310-315); staggered variants are folded into dt_rho0_sg*
+    # at build time (generateInitialDenisty, KSpaceFirstOrderSolver.cpp:2660-2701)
+    dxudxn: Optional[np.ndarray] = None
+    dyudyn: Optional[np.ndarray] = None
+    dzudzn: Optional[np.ndarray] = None
     dt: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
 
@@ -267,6 +273,7 @@ def make_operators(
     absorbing: bool = False,
     need_source_kappa: bool = False,
     need_shift: bool = False,
+    nonuniform: Optional[dict] = None,
 ) -> Operators:
     """Build the full operator set for one simulation (reference preProcessing,
     KSpaceFirstOrderSolver.cpp:784-861)."""
@@ -321,6 +328,31 @@ def make_operators(
     dt_rho0_sgy = (dt / rho0_sgy).astype(np.float32)
     dt_rho0_sgz = (dt / rho0_sgz).astype(np.float32) if dim == 3 else None
 
+    dxudxn = dyudyn = dzudzn = None
+    if nonuniform:
+        # staggered stretch maps fold into dt/rho0_sg (dtRho0Sg = dt*dxudxnSgx/rho0,
+        # generateInitialDenisty :2685-2694); regular maps scale the velocity gradients
+        def vec(name, n):
+            v = nonuniform.get(name)
+            return None if v is None else np.asarray(v, np.float32).reshape(n)
+
+        sgx = vec("dxudxn_sgx", grid.nx)
+        sgy = vec("dyudyn_sgy", grid.ny)
+        sgz = vec("dzudzn_sgz", grid.nz) if dim == 3 else None
+        bx = (1,) * (dim - 1) + (grid.nx,)
+        by = (1,) * (dim - 2) + (grid.ny,) + (1,)
+        if sgx is not None:
+            dt_rho0_sgx = (dt_rho0_sgx * sgx.reshape(bx)).astype(np.float32)
+        if sgy is not None:
+            dt_rho0_sgy = (dt_rho0_sgy * sgy.reshape(by)).astype(np.float32)
+        if dim == 3 and sgz is not None:
+            dt_rho0_sgz = (
+                dt_rho0_sgz * sgz.reshape(grid.nz, 1, 1)
+            ).astype(np.float32)
+        dxudxn = vec("dxudxn", grid.nx)
+        dyudyn = vec("dyudyn", grid.ny)
+        dzudzn = vec("dzudzn", grid.nz) if dim == 3 else None
+
     c2 = (c0 * c0).astype(np.float32)
     bona = None if medium.bona is None else np.asarray(medium.bona, np.float32)
 
@@ -353,5 +385,8 @@ def make_operators(
         shift_y_neg=make_shift_neg(grid.ny, grid.dy, True) if need_shift else None,
         shift_z_neg=make_shift_neg(grid.nz, grid.dz, True) if need_shift and dim == 3
         else None,
+        dxudxn=dxudxn,
+        dyudyn=dyudyn,
+        dzudzn=dzudzn,
         dt=float(grid.dt),
     )

@@ -242,6 +242,14 @@ def step(
     duydy = fft.irfftn(fft.rfftn(uy) * kap * _bc(ops.ddy_neg, 1, ndim), shape)
     if is3d:
         duzdz = fft.irfftn(fft.rfftn(uz) * kap * _bc(ops.ddz_neg, 2, ndim), shape)
+    # non-uniform grid: scale gradients by the stretch maps (the nonuniform variant of
+    # cudaComputeVelocityGradient — MATLAB duxdx = dxudxn .* real(ifft(...)))
+    if ops.dxudxn is not None:
+        duxdx = duxdx * _bc(ops.dxudxn, 0, ndim)
+    if ops.dyudyn is not None:
+        duydy = duydy * _bc(ops.dyudyn, 1, ndim)
+    if is3d and ops.dzudzn is not None:
+        duzdz = duzdz * _bc(ops.dzudzn, 2, ndim)
 
     # -- density update (computeDensityNonliner/Linear :2157-2173; kernels :1358/:1470)
     pml_x = _bc(ops.pml_x, 0, ndim)

@@ -176,3 +176,33 @@ def test_checkpoint_resume_equivalence():
     resumed, _ = simulate(mid, ops, src, cfg, 8, t0=9)
     np.testing.assert_array_equal(np.asarray(full.p), np.asarray(resumed.p))
     np.testing.assert_array_equal(np.asarray(full.ux_sgx), np.asarray(resumed.ux_sgx))
+
+
+def test_nonuniform_grid_reduces_to_uniform():
+    """With identity stretch maps the nonuniform path must equal the uniform one;
+    with non-identity maps it must change the answer (both finite)."""
+    import jax.numpy as jnp
+
+    grid = _mini_grid(3)
+    medium = Medium(c0=1500.0, rho0=1000.0)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    src = Sources(p0=jnp.asarray(p0))
+    cfg = SolverConfig(p0_source_flag=True)
+
+    ident = {k: np.ones(n, np.float32) for k, n in (
+        ("dxudxn", grid.nx), ("dyudyn", grid.ny), ("dzudzn", grid.nz),
+        ("dxudxn_sgx", grid.nx), ("dyudyn_sgy", grid.ny), ("dzudzn_sgz", grid.nz))}
+    ops_u = make_operators(grid, medium, (4,) * 3, (2.0,) * 3)
+    ops_i = make_operators(grid, medium, (4,) * 3, (2.0,) * 3, nonuniform=ident)
+    fu, _ = simulate(init_state(grid), ops_u, src, cfg, 10)
+    fi, _ = simulate(init_state(grid), ops_i, src, cfg, 10)
+    np.testing.assert_array_equal(np.asarray(fu.p), np.asarray(fi.p))
+
+    stretched = dict(ident)
+    stretched["dxudxn"] = (1.0 + 0.1 * np.sin(np.arange(grid.nx))).astype(np.float32)
+    stretched["dxudxn_sgx"] = stretched["dxudxn"]
+    ops_s = make_operators(grid, medium, (4,) * 3, (2.0,) * 3, nonuniform=stretched)
+    fs, _ = simulate(init_state(grid), ops_s, src, cfg, 10)
+    assert np.isfinite(np.asarray(fs.p)).all()
+    assert np.abs(np.asarray(fs.p) - np.asarray(fu.p)).max() > 0
