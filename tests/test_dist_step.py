@@ -54,3 +54,21 @@ def test_pencil_step_matches_local(mesh):
                                rtol=1e-5, atol=1e-2)
     np.testing.assert_allclose(np.asarray(got.ux_sgx), np.asarray(ref.ux_sgx),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_encode_matches_unsharded(mesh):
+    """Sensor-sharded codec encode equals the single-device result, and the ordered
+    gather returns sensor-index order."""
+    from kwave_tpu.basis import generate_basis
+    from kwave_tpu.encoder import encode_series_fast
+    from kwave_tpu.parallel.distributed import encode_sharded, gather_frames
+
+    cb = generate_basis(10.0, 1, 2, normalize=True)
+    rng = np.random.default_rng(0)
+    x = (1e5 * rng.standard_normal((40, 64))).astype(np.float32)
+
+    ref_re, ref_im = encode_series_fast(jnp.asarray(x), cb)
+    out = encode_sharded(x, cb, mesh)
+    got_re, got_im = gather_frames(out, mesh)
+    np.testing.assert_allclose(got_re, np.asarray(ref_re), rtol=1e-6, atol=1e-2)
+    np.testing.assert_allclose(got_im, np.asarray(ref_im), rtol=1e-6, atol=1e-2)
