@@ -23,6 +23,10 @@ def main(argv=None) -> int:
         print(VERSION)
         return 0
 
+    from kwave_tpu.utils.observability import Logger
+
+    Logger.level = args.verbose  # Basic/Advanced/Full (Logger.h:57-63)
+
     t0 = time.time()
     data = read_input_file(args.input_file)
 
@@ -40,11 +44,11 @@ def main(argv=None) -> int:
         if args.I_avg or args.Q_term:
             post_process_output_file(args.output_file, data.grid, mask,
                                      want_i_avg=args.I_avg, want_q_term=args.Q_term,
-                                     from_coeffs=False)
+                                     from_coeffs=False, block_size=args.block_size)
         if args.I_avg_c or args.Q_term_c:
             post_process_output_file(args.output_file, data.grid, mask,
                                      want_i_avg=args.I_avg_c, want_q_term=args.Q_term_c,
-                                     from_coeffs=True)
+                                     from_coeffs=True, block_size=args.block_size)
         print(f"[kwave_tpu] post-processing done in {time.time() - t0:.2f}s")
         return 0
 

@@ -61,6 +61,9 @@ class RunConfig:
     compression_level: int = 0
     checkpoint_file: Optional[str] = None
     checkpoint_interval_steps: Optional[int] = None
+    checkpoint_interval_seconds: Optional[float] = None
+    block_size: Optional[int] = None  # --block_size: post-processing I/O block (elements)
+    progress_interval: int = 5  # -r flag: progress print interval in percent
 
 
 def detect_period(data: InputData, run: RunConfig) -> Optional[float]:
@@ -338,15 +341,16 @@ def run_simulation(
         for _ in range(o):
             timers.add_iteration(dt_it / o, sampled=True)
         t += o
-        Logger.progress(t - t0, grid.nt - t0, wall0)
-        if (
-            run.checkpoint_interval_steps is not None
-            and run.checkpoint_file is not None
-            and t - t0 >= run.checkpoint_interval_steps
-            and t < grid.nt
+        Logger.progress(t - t0, grid.nt - t0, wall0, run.progress_interval)
+        if run.checkpoint_file is not None and t < grid.nt and (
+            (run.checkpoint_interval_steps is not None
+             and t - t0 >= run.checkpoint_interval_steps)
+            or (run.checkpoint_interval_seconds is not None
+                and _time.time() - wall0 >= run.checkpoint_interval_seconds)
         ):
-            # checkpoint leg boundary (isTimeToCheckpoint, Parameters.cpp:683; window
-            # granularity keeps the encoder state frame-aligned)
+            # checkpoint leg boundary: elapsed-seconds or step-count trigger, first met
+            # wins (isTimeToCheckpoint, Parameters.cpp:683; window granularity keeps the
+            # encoder state frame-aligned)
             interrupted = True
             break
 
@@ -423,11 +427,13 @@ def run_simulation(
             post_process_output_file(
                 output_path, grid, mask_np,
                 want_i_avg=run.i_avg, want_q_term=run.q_term, from_coeffs=False,
+                block_size=run.block_size,
             )
         if run.i_avg_c or run.q_term_c:
             post_process_output_file(
                 output_path, grid, mask_np,
                 want_i_avg=run.i_avg_c, want_q_term=run.q_term_c, from_coeffs=True,
+                block_size=run.block_size,
             )
 
     timers.stop("postprocessing")

@@ -75,9 +75,17 @@ def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "spa
 
         spec_sh = spectral_sharding(mesh, axis)
 
-    def put(x):
+    # per-axis complex operators travel as packed [n, 2] float planes
+    # (operators.pack_complex) — always replicated, never grid-sharded, even when their
+    # ndim happens to match the grid's (2D grids)
+    packed = {"ddx_pos", "ddx_neg", "ddy_pos", "ddy_neg", "ddz_pos", "ddz_neg",
+              "shift_x_neg", "shift_y_neg", "shift_z_neg"}
+
+    def put(name, x):
         if x is None:
             return None
+        if name in packed:
+            return jax.device_put(x, repl)
         if pencil and spec_shape is not None and tuple(np.shape(x)) == spec_shape:
             return jax.device_put(x, spec_sh)
         if np.ndim(x) == grid_ndim:  # full-grid (real or spectral, z-sharded)
@@ -87,7 +95,7 @@ def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "spa
     d = {}
     for f in dataclasses.fields(ops):
         v = getattr(ops, f.name)
-        d[f.name] = v if f.name == "dt" else put(v)
+        d[f.name] = v if f.name == "dt" else put(f.name, v)
     return Operators(**d)
 
 

@@ -105,4 +105,7 @@ def args_to_run_config(args, dt: Optional[float] = None) -> RunConfig:
         compression_level=args.compression_level,
         checkpoint_file=args.checkpoint_file,
         checkpoint_interval_steps=args.checkpoint_timesteps,
+        checkpoint_interval_seconds=args.checkpoint_interval,
+        block_size=args.block_size,
+        progress_interval=args.progress_interval,
     )

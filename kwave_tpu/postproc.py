@@ -40,10 +40,16 @@ def time_shift_half_step(u_series: jax.Array) -> jax.Array:
     t_steps = u_series.shape[0]
     n_bins = t_steps // 2 + 1
     shift = _signed_freq_index(n_bins, t_steps)
-    phase = np.exp(1j * np.pi * shift / t_steps).astype(np.complex64)
+    arg = np.pi * shift / t_steps
+    # complex formed on device from float planes — complex64 never crosses host<->device
+    # (see operators.pack_complex)
+    phase = jax.lax.complex(
+        jnp.asarray(np.cos(arg).astype(np.float32)),
+        jnp.asarray(np.sin(arg).astype(np.float32)),
+    )
     uk = jnp.fft.rfft(u_series, axis=0)
     shape = (n_bins,) + (1,) * (u_series.ndim - 1)
-    return jnp.fft.irfft(uk * jnp.asarray(phase).reshape(shape), n=t_steps, axis=0)
+    return jnp.fft.irfft(uk * phase.reshape(shape), n=t_steps, axis=0)
 
 
 @jax.jit
@@ -61,10 +67,11 @@ def avg_intensity_coeffs(cp_re, cp_im, cu_re, cu_im):
 
 def _ik_axis(n: int, d: float) -> np.ndarray:
     """Spectral derivative i*k on the rfft-reduced axis with signed frequencies
-    (computeQTerm shift tables, :1905-1924)."""
+    (computeQTerm shift tables, :1905-1924). Returned as the imaginary part (float32);
+    consumers form i*k on device via lax.complex."""
     n_bins = n // 2 + 1
     shift = _signed_freq_index(n_bins, n)
-    return (1j * 2.0 * np.pi / d * shift / n).astype(np.complex64)
+    return (2.0 * np.pi / d * shift / n).astype(np.float32)
 
 
 def scatter_to_grid(values: jax.Array, mask: jax.Array, shape: tuple[int, ...]):
@@ -87,11 +94,12 @@ def q_term(
 
     def ddx(f, d, axis):
         n = f.shape[axis]
-        op = _ik_axis(n, d)
+        k_im = jnp.asarray(_ik_axis(n, d))
+        op = jax.lax.complex(jnp.zeros_like(k_im), k_im)  # i*k, formed on device
         fk = jnp.fft.rfft(f, axis=axis)
         shp = [1] * ndim
         shp[axis] = op.shape[0]
-        return jnp.fft.irfft(fk * jnp.asarray(op).reshape(shp), n=n, axis=axis)
+        return jnp.fft.irfft(fk * op.reshape(shp), n=n, axis=axis)
 
     q = ddx(ix, dx, ndim - 1) + ddx(iy, dy, ndim - 2)
     if iz is not None:
@@ -111,14 +119,21 @@ def post_process_output_file(
     want_i_avg: bool = True,
     want_q_term: bool = False,
     from_coeffs: bool = False,
+    block_size: Optional[int] = None,
 ) -> None:
     """Compute Ix/Iy/Iz_avg (and Q_term) from an output file holding p/u_non_staggered
     series (raw or compressed) and append the result datasets — the `--post` path
     (main.cpp --post flag; KSpaceFirstOrderSolver::postProcessing :950-1045).
 
     Coefficient mode reads `*_c` datasets and stays entirely in coefficient space
-    (computeAverageIntensitiesC; float-mode coefficients only, matching the reference's
-    no-40-bit note at :1541 — the on-the-fly 40-bit path lives in streams)."""
+    (computeAverageIntensitiesC; the reference cannot post-process 40-bit coefficients,
+    note :1541 — here the integer unpack is exact on any backend).
+
+    `block_size` bounds the I/O working set, as the reference's --block_size flag
+    (CommandLineParameters) and auto-sizing (:1283-1307): it is the maximum number of
+    float elements read per hyperslab block. Raw mode blocks over sensor points (the
+    half-step time shift needs the full time axis per point); coefficient mode blocks
+    over compressed frames (the intensity is a running mean over frames)."""
     import h5py
 
     from kwave_tpu.io.hdf5 import create_dataset
@@ -129,12 +144,13 @@ def post_process_output_file(
     with h5py.File(output_path, "r+") as f:
         if from_coeffs:
 
-            def load_coeffs(name):
-                """`*_c` dataset -> (re, im) [Nc, N, H]. Handles both 64-bit interleaved
-                floats and the packed 40-bit rows (which the reference's post path cannot,
-                note :1541 — here the integer unpack is exact on any backend)."""
+            def load_coeffs(name, lo, hi):
+                """Frame rows [lo:hi) of a `*_c` dataset -> (re, im) [hi-lo, N, H]. Handles
+                both 64-bit interleaved floats and the packed 40-bit rows (which the
+                reference's post path cannot, note :1541 — here the integer unpack is
+                exact on any backend)."""
                 ds = f[name]
-                rows = np.asarray(ds)[0]  # [Nc, mSize]
+                rows = ds[0, lo:hi]  # [blk, mSize]
                 h_ = int(ds.attrs["c_harmonics"])
                 cs = float(ds.attrs["c_complex_size"])
                 if cs == 2.0:
@@ -156,20 +172,35 @@ def post_process_output_file(
                 )
                 return np.asarray(re), np.asarray(im)
 
-            cp_re, cp_im = load_coeffs("p" + dn.COMPRESS_SUFFIX)
-            intensities = {}
-            for a in axes:
-                cu_re, cu_im = load_coeffs(f"u{a}_non_staggered" + dn.COMPRESS_SUFFIX)
-                i_a = np.mean(
-                    np.sum(cp_re * cu_re + cp_im * cu_im, axis=2), axis=0
-                ) * 0.5
-                intensities[a] = i_a.astype(np.float32)
+            ds_p = f["p" + dn.COMPRESS_SUFFIX]
+            n_frames, m_size = ds_p.shape[1], ds_p.shape[2]
+            blk = n_frames if block_size is None else max(1, block_size // max(m_size, 1))
+            acc = {a: None for a in axes}
+            for lo in range(0, n_frames, blk):
+                hi = min(lo + blk, n_frames)
+                cp_re, cp_im = load_coeffs("p" + dn.COMPRESS_SUFFIX, lo, hi)
+                for a in axes:
+                    cu_re, cu_im = load_coeffs(
+                        f"u{a}_non_staggered" + dn.COMPRESS_SUFFIX, lo, hi
+                    )
+                    part = np.sum(
+                        np.sum(cp_re * cu_re + cp_im * cu_im, axis=2), axis=0
+                    )
+                    acc[a] = part if acc[a] is None else acc[a] + part
+            intensities = {
+                a: (acc[a] / n_frames * 0.5).astype(np.float32) for a in axes
+            }
         else:
-            p = jnp.asarray(np.asarray(f[dn.P])[0])  # [T, N]
-            intensities = {}
-            for a in axes:
-                u = jnp.asarray(np.asarray(f[f"u{a}_non_staggered"])[0])
-                intensities[a] = np.asarray(avg_intensity_raw(p, u))
+            ds_p = f[dn.P]
+            t_steps, n_sens = ds_p.shape[1], ds_p.shape[2]
+            blk = n_sens if block_size is None else max(1, block_size // max(t_steps, 1))
+            intensities = {a: np.empty(n_sens, np.float32) for a in axes}
+            for lo in range(0, n_sens, blk):
+                hi = min(lo + blk, n_sens)
+                p = jnp.asarray(ds_p[0, :, lo:hi])  # [T, blk]
+                for a in axes:
+                    u = jnp.asarray(f[f"u{a}_non_staggered"][0, :, lo:hi])
+                    intensities[a][lo:hi] = np.asarray(avg_intensity_raw(p, u))
 
         if want_i_avg:
             for a in axes:

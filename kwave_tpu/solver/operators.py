@@ -40,6 +40,23 @@ import jax
 import numpy as np
 
 
+def pack_complex(v: np.ndarray) -> np.ndarray:
+    """complex [n] -> float32 [n, 2] (re, im) planes.
+
+    Complex64 never crosses the host<->device boundary as a runtime buffer: TPUs have no
+    native complex type, and the axon TPU transport cannot transfer complex64 buffers
+    (device->host fetches and complex jit arguments fail UNIMPLEMENTED, and the first
+    failure wedges the whole client session). Operators therefore travel as float planes
+    and are recombined on device with `cvec` inside the compiled program."""
+    v = np.asarray(v)
+    return np.stack([v.real, v.imag], axis=-1).astype(np.float32)
+
+
+def cvec(packed) -> jax.Array:
+    """Packed float32 [n, 2] (re, im) -> complex64 [n] on device (see pack_complex)."""
+    return jax.lax.complex(packed[..., 0], packed[..., 1])
+
+
 @dataclasses.dataclass(frozen=True)
 class Grid:
     """Spatial/temporal discretization. 2D when nz == 1."""
@@ -98,11 +115,11 @@ class Operators:
     """Precomputed device-ready operator pytree (numpy/jnp leaves; dt is static metadata)."""
 
     kappa: np.ndarray  # [*, nxR] fp32
-    ddx_pos: np.ndarray  # [nxR] c64: i*kx*exp(+i*kx*dx/2)
-    ddx_neg: np.ndarray  # [nxR] c64
-    ddy_pos: np.ndarray  # [ny] c64
+    ddx_pos: np.ndarray  # [nxR, 2] fp32 re/im planes of i*kx*exp(+i*kx*dx/2) (pack_complex)
+    ddx_neg: np.ndarray  # [nxR, 2]
+    ddy_pos: np.ndarray  # [ny, 2]
     ddy_neg: np.ndarray
-    ddz_pos: Optional[np.ndarray]  # [nz] c64 (3D only)
+    ddz_pos: Optional[np.ndarray]  # [nz, 2] (3D only)
     ddz_neg: Optional[np.ndarray]
     pml_x: np.ndarray  # [nx] fp32
     pml_y: np.ndarray
@@ -122,7 +139,8 @@ class Operators:
     absorb_eta: Optional[np.ndarray]
     source_kappa: Optional[np.ndarray]  # [*, nxR] fp32 (additive sources only)
     # half-cell backward shift per axis, rfft-reduced (x_shift_neg_r / y / z;
-    # MatrixContainer.cpp:377-388) — for non-staggered velocity sampling
+    # MatrixContainer.cpp:377-388) — for non-staggered velocity sampling;
+    # [n, 2] fp32 re/im planes (pack_complex)
     shift_x_neg: Optional[np.ndarray] = None
     shift_y_neg: Optional[np.ndarray] = None
     shift_z_neg: Optional[np.ndarray] = None
@@ -216,7 +234,7 @@ def make_ddk_shift(n: int, d: float, reduced: bool):
         k[-1] = 2.0 * np.pi * np.fft.fftfreq(n, d)[n // 2] if n % 2 == 0 else k[-1]
     pos = 1j * k * np.exp(1j * k * d / 2.0)
     neg = 1j * k * np.exp(-1j * k * d / 2.0)
-    return pos.astype(np.complex64), neg.astype(np.complex64)
+    return pack_complex(pos), pack_complex(neg)
 
 
 def make_shift_neg(n: int, d: float, reduced: bool) -> np.ndarray:
@@ -229,7 +247,7 @@ def make_shift_neg(n: int, d: float, reduced: bool) -> np.ndarray:
         if n % 2 == 0:
             kr[-1] = k[n // 2]  # Nyquist keeps the negative sign (ifftshift convention)
         k = kr
-    return np.exp(-1j * k * d / 2.0).astype(np.complex64)
+    return pack_complex(np.exp(-1j * k * d / 2.0))
 
 
 def make_pml(n: int, size: int, alpha_max: float, c_ref: float, d: float, dt: float,

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from kwave_tpu.solver.operators import Grid, Operators
+from kwave_tpu.solver.operators import Grid, Operators, cvec
 
 
 # Source modes (Parameters.h:73-81).
@@ -140,13 +140,16 @@ def _grad_fields(field: jax.Array, ops: Operators, ddx, ddy, ddz, shape,
                  fft: FftOps = LOCAL_FFT):
     """ifftn(dd*_k_shift * kappa * fftn(field)) for each axis — the shared pattern of
     computePressureGradient (SolverCudaKernels.cu:1139-1199) and computeVelocityGradient
-    (:1210-1343), fused with the surrounding FFTs (KSpaceFirstOrderSolver.cpp:2087-2150)."""
+    (:1210-1343), fused with the surrounding FFTs (KSpaceFirstOrderSolver.cpp:2087-2150).
+
+    The per-axis operators arrive as packed float (re, im) planes (operators.pack_complex)
+    and become complex64 only here, on device."""
     ndim = field.ndim
     fk = fft.rfftn(field)
     fk = fk * ops.kappa
-    gx = fft.irfftn(fk * _bc(ddx, 0, ndim), shape)
-    gy = fft.irfftn(fk * _bc(ddy, 1, ndim), shape)
-    gz = fft.irfftn(fk * _bc(ddz, 2, ndim), shape) if ddz is not None else None
+    gx = fft.irfftn(fk * _bc(cvec(ddx), 0, ndim), shape)
+    gy = fft.irfftn(fk * _bc(cvec(ddy), 1, ndim), shape)
+    gz = fft.irfftn(fk * _bc(cvec(ddz), 2, ndim), shape) if ddz is not None else None
     return gx, gy, gz
 
 
@@ -238,10 +241,10 @@ def step(
     # -- velocity gradient (computeVelocityGradient :2126-2150): per-axis
     # duxdx = ifft(ddx_neg * kappa * fft(ux)) etc.
     kap = ops.kappa
-    duxdx = fft.irfftn(fft.rfftn(ux) * kap * _bc(ops.ddx_neg, 0, ndim), shape)
-    duydy = fft.irfftn(fft.rfftn(uy) * kap * _bc(ops.ddy_neg, 1, ndim), shape)
+    duxdx = fft.irfftn(fft.rfftn(ux) * kap * _bc(cvec(ops.ddx_neg), 0, ndim), shape)
+    duydy = fft.irfftn(fft.rfftn(uy) * kap * _bc(cvec(ops.ddy_neg), 1, ndim), shape)
     if is3d:
-        duzdz = fft.irfftn(fft.rfftn(uz) * kap * _bc(ops.ddz_neg, 2, ndim), shape)
+        duzdz = fft.irfftn(fft.rfftn(uz) * kap * _bc(cvec(ops.ddz_neg), 2, ndim), shape)
     # non-uniform grid: scale gradients by the stretch maps (the nonuniform variant of
     # cudaComputeVelocityGradient — MATLAB duxdx = dxudxn .* real(ifft(...)))
     if ops.dxudxn is not None:
@@ -321,8 +324,9 @@ def shifted_velocity(state: SimState, ops: Operators):
     x_shift_neg). Returns (ux_shifted, uy_shifted, uz_shifted|None)."""
     ndim = state.p.ndim
 
-    def shift(u, op_vec, axis):
+    def shift(u, op_packed, axis):
         n = u.shape[axis]
+        op_vec = cvec(op_packed)
         uk = jnp.fft.rfft(u, axis=axis)
         shape = [1] * ndim
         shape[axis] = op_vec.shape[0]

@@ -67,3 +67,28 @@ def test_multi_leg_40bit(tmp_path):
 
     with h5py.File(out1) as f1, h5py.File(out2) as f2:
         np.testing.assert_array_equal(np.asarray(f1["p_c"]), np.asarray(f2["p_c"]))
+
+
+def test_wall_time_checkpoint_trigger(tmp_path):
+    """checkpoint_interval_seconds (the reference --checkpoint_interval) interrupts the run
+    at the next window boundary; resumed legs still produce the single-run output bitwise."""
+    data = _input()
+    out1 = str(tmp_path / "single.h5")
+    run_simulation(data, RunConfig(flags=_flags(), period=10.0, harmonics=2), out1)
+
+    out2 = str(tmp_path / "legs.h5")
+    ckpt = str(tmp_path / "ckpt.h5")
+    run = RunConfig(flags=_flags(), period=10.0, harmonics=2,
+                    checkpoint_file=ckpt, checkpoint_interval_seconds=0.0)
+    # interval 0 -> checkpoint after every window (o_size=10 steps); 60 steps = 6 legs
+    legs = 0
+    summary = run_simulation(data, run, out2)
+    while "__checkpointed_at__" in summary:
+        legs += 1
+        assert legs < 20
+        summary = run_simulation(data, run, out2, resume_from=ckpt)
+    assert legs >= 2
+    with h5py.File(out1) as f1, h5py.File(out2) as f2:
+        for name in ("p", "p_c", "p_rms", "p_max"):
+            np.testing.assert_array_equal(
+                np.asarray(f1[name]), np.asarray(f2[name]), err_msg=name)

@@ -91,3 +91,28 @@ def test_i_avg_c_40bit(tmp_path):
         assert f["p_c"].attrs["c_complex_size"] == np.float32(1.25)
         ixc = np.asarray(f["Ix_avg_c"])
         assert np.isfinite(ixc).all() and np.abs(ixc).max() > 0
+
+
+def test_block_size_matches_unblocked(tmp_path):
+    """--block_size bounded hyperslab streaming must reproduce the in-memory result
+    (reference block-wise computeAverageIntensities, KSpaceFirstOrderSolver.cpp:1283-1307)."""
+    from kwave_tpu.postproc import post_process_output_file
+
+    data = _sim_input()
+    out = str(tmp_path / "out.h5")
+    run = RunConfig(flags={}, i_avg=True, q_term=True, i_avg_c=True,
+                    period=10.0, harmonics=2)
+    run_simulation(data, run, out)
+    with h5py.File(out, "r") as f:
+        ref = {k: np.asarray(f[k]) for k in
+               ("Ix_avg", "Iy_avg", "Iz_avg", "Q_term", "Ix_avg_c")}
+    mask = data.sensor_mask_index
+    # tiny blocks: raw mode -> a handful of sensors per read; coeff mode -> 1 frame
+    post_process_output_file(out, data.grid, mask, want_i_avg=True, want_q_term=True,
+                             from_coeffs=False, block_size=500)
+    post_process_output_file(out, data.grid, mask, want_i_avg=True, want_q_term=False,
+                             from_coeffs=True, block_size=100)
+    with h5py.File(out, "r") as f:
+        for k, v in ref.items():
+            got = np.asarray(f[k])
+            np.testing.assert_allclose(got, v, rtol=1e-5, atol=1e-8, err_msg=k)
