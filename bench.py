@@ -60,19 +60,26 @@ def main() -> None:
         rec = decoder.reconstruct(f_re, f_im, tab_re, tab_im, o, T_STEPS)
         return f_re, f_im, rec
 
+    # Scalar probe that forces full execution before timing stops. On remote backends
+    # (the axon TPU tunnel) jax.block_until_ready returns before the device has actually
+    # executed the enqueued programs, so timing must be closed by fetching a value that
+    # data-depends on the final output (a 4-byte scalar; bulk fetches are tunnel-limited).
+    probe = jax.jit(lambda a, b, c: jnp.sum(a) + jnp.sum(b) + jnp.sum(c))
+
     # warmup + correctness guard
-    f_re, f_im, rec = jax.block_until_ready(roundtrip(series))
+    f_re, f_im, rec = roundtrip(series)
+    float(probe(f_re, f_im, rec))
     err = float(
         jnp.max(jnp.abs(rec[2 * o : n_frames * o - 2 * o] - series[2 * o : n_frames * o - 2 * o]))
         / jnp.max(jnp.abs(series))
     )
     assert err < 0.02, f"roundtrip rel err {err}"
 
-    reps = 5
+    reps = 30
     t0 = time.perf_counter()
     for _ in range(reps):
         out = roundtrip(series)
-    jax.block_until_ready(out)
+    float(probe(*out))  # device executes in enqueue order: waits for all reps
     dt = (time.perf_counter() - t0) / reps
 
     bytes_in = series.size * 4  # encode reads the series

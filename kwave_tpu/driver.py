@@ -107,12 +107,24 @@ def make_window_fn(
     o_size: int,
     n_sensors: int,
     strategy: str = "ys",
+    ops=None,
+    src=None,
+    mask=None,
 ):
-    """Jitted window program: (sim_state, stream_states, t0) -> (sim_state, stream_states,
-    emissions). Runs o_size solver steps, gathers every wanted source each step, then
-    advances all streams one window."""
+    """Jitted window program: (sim_state, stream_states, t0[, ops, src, mask]) ->
+    (sim_state, stream_states, emissions). Runs o_size solver steps, gathers every wanted
+    source each step, then advances all streams one window.
+
+    When ``ops``/``src``/``mask`` are given they are closed over and baked into the
+    executable as constants — required for performance on remote backends (the axon TPU
+    tunnel re-stages large runtime argument buffers on every execution: ~25x slower at
+    128^3), and generally XLA-friendlier since the operators are run-constant. The
+    argument-passing form (all three None) remains for sharded multi-chip callers that
+    device_put operators with explicit shardings."""
     wanted = streams_mod.needed_sources(specs)
     whole_domain = [s for s in specs if s.op in ("max_all", "min_all")]
+    closed = ops is not None
+    c_ops, c_src, c_mask = ops, src, mask
 
     def _fold_wd(wd, st):
         # per-step whole-domain extrema folded inside the scan (cudaSampleAll semantics,
@@ -126,8 +138,7 @@ def make_window_fn(
             )
         return out
 
-    @jax.jit
-    def window(sim_state, stream_states, t0, ops, src, mask):
+    def window_impl(sim_state, stream_states, t0, ops, src, mask):
         wd0 = {s.name: stream_states[s.name] for s in whole_domain}
         if strategy == "carry":
             bufs = {w: jnp.zeros((o_size, n_sensors), jnp.float32) for w in wanted}
@@ -158,7 +169,15 @@ def make_window_fn(
         new_states, emissions = streams_mod.process_chunk(pre, chunks, {}, specs, basis)
         return sim2, new_states, emissions
 
-    return window
+    if closed:
+
+        @jax.jit
+        def window(sim_state, stream_states, t0):
+            return window_impl(sim_state, stream_states, t0, c_ops, c_src, c_mask)
+
+        return window
+
+    return jax.jit(window_impl)
 
 
 def _field_attr(source: str) -> str:
@@ -220,6 +239,11 @@ def run_simulation(
         need_shift=streams_mod.needs_shifted_velocity(specs),
         nonuniform=data.nonuniform_maps if data.nonuniform else None,
     )
+    # Stage the operator set on device ONCE. Leaving them as host numpy would re-upload
+    # every buffer on every window call (25x slower over the axon tunnel), while baking
+    # them in as HLO constants blows up compilation at 256^3 — device-resident buffers
+    # referenced by the executable are the fast path on both counts.
+    ops = jax.tree_util.tree_map(jnp.asarray, ops)
     cfg = SolverConfig(
         nonlinear=data.nonlinear,
         absorbing=data.absorbing,
@@ -233,8 +257,11 @@ def run_simulation(
         transducer_source_flag=data.transducer_source_flag,
         sampling_start_index=run.sampling_start,
     )
+    from kwave_tpu.solver import make_p0_init
+
     src = Sources(
         p0=jnp.asarray(data.p0) if data.p0 is not None else None,
+        p0_init=make_p0_init(grid, ops, data.p0) if data.p0 is not None else None,
         p_index=jnp.asarray(data.p_source_index) if data.p_source_index is not None else None,
         p_signal=jnp.asarray(data.p_source_input) if data.p_source_input is not None else None,
         u_index=jnp.asarray(data.u_source_index) if data.u_source_index is not None else None,
@@ -310,7 +337,8 @@ def run_simulation(
         )
     if ck is not None:
         timers.restore_cumulated(read_cumulated_times(f))
-    window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy)
+    window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
+                            ops=ops, src=src, mask=mask)
     timers.stop("preprocessing")
     timers.start("simulation")
     wall0 = _time.time()
@@ -319,10 +347,11 @@ def run_simulation(
     # KSpaceFirstOrderSolver.cpp:1060-1068)
     t = t0
     if run.sampling_start > t:
-        from kwave_tpu.solver import simulate
+        from kwave_tpu.solver import make_simulate_fn
 
         t_lead = _time.time()
-        sim_state, _ = simulate(sim_state, ops, src, cfg, run.sampling_start - t, t0=t)
+        lead = make_simulate_fn(ops, src, cfg, run.sampling_start - t)
+        sim_state, _ = lead(sim_state, jnp.int32(t))
         jax.block_until_ready(sim_state.p)
         dt_lead = _time.time() - t_lead
         for _ in range(run.sampling_start - t):
@@ -334,7 +363,7 @@ def run_simulation(
     for w in range(n_windows):
         t_it = _time.time()
         sim_state, stream_states, emissions = window(
-            sim_state, stream_states, jnp.int32(t), ops, src, mask
+            sim_state, stream_states, jnp.int32(t)
         )
         writer.flush_emissions(emissions)
         dt_it = _time.time() - t_it
@@ -381,14 +410,15 @@ def run_simulation(
     # trailing steps (< one window): advance state; raw rows still stored
     rem = grid.nt - t
     if rem > 0:
-        from kwave_tpu.solver import simulate
+        from kwave_tpu.solver import make_simulate_fn
 
         raw_specs = [s for s in specs if s.op == "raw"]
         wanted = streams_mod.needed_sources(raw_specs)
-        sim_state, tail = simulate(
-            sim_state, ops, src, cfg, rem, t0=t,
+        tail_fn = make_simulate_fn(
+            ops, src, cfg, rem,
             sample_fn=(lambda s: _gather_sources(s, ops, mask, wanted)) if wanted else None,
         )
+        sim_state, tail = tail_fn(sim_state, jnp.int32(t))
         if wanted:
             writer.flush_emissions({s.name: np.asarray(tail[s.source]) for s in raw_specs})
         t += rem

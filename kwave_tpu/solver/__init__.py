@@ -14,7 +14,9 @@ from kwave_tpu.solver.step import (
     Sources,
     add_initial_pressure,
     init_state,
+    make_p0_init,
     shifted_velocity,
+    make_simulate_fn,
     simulate,
     step,
 )
@@ -29,7 +31,9 @@ __all__ = [
     "Sources",
     "add_initial_pressure",
     "init_state",
+    "make_p0_init",
     "shifted_velocity",
+    "make_simulate_fn",
     "simulate",
     "step",
 ]

@@ -80,6 +80,11 @@ class Sources:
     """
 
     p0: Optional[jax.Array] = None  # initial pressure [grid]
+    # Precomputed t==0 state (make_p0_init): the whole addInitialPressureSource result is
+    # state-independent, so computing it once and selecting at t==0 avoids re-evaluating
+    # its 4 FFTs inside every scan step (lax.cond on TPU evaluates both branches when
+    # vectorized into a scan body). When None, step() falls back to the lax.cond path.
+    p0_init: Optional["SimState"] = None
     p_index: Optional[jax.Array] = None  # [n]
     p_signal: Optional[jax.Array] = None  # [T] or [n, T]
     u_index: Optional[jax.Array] = None
@@ -312,9 +317,23 @@ def step(
 
     # -- initial pressure at t==0 (addInitialPressureSource :2359-2400)
     if cfg.p0_source_flag:
-        new = lax.cond(
-            t == 0, lambda s: add_initial_pressure(s, ops, src.p0, fft), lambda s: s, new
-        )
+        if src.p0_init is not None:
+            init = src.p0_init
+            sel = lambda a, b: (None if b is None else jnp.where(t == 0, a, b))  # noqa: E731
+            new = SimState(
+                p=sel(init.p, new.p),
+                ux_sgx=sel(init.ux_sgx, new.ux_sgx),
+                uy_sgy=sel(init.uy_sgy, new.uy_sgy),
+                uz_sgz=sel(init.uz_sgz, new.uz_sgz),
+                rho_x=sel(init.rho_x, new.rho_x),
+                rho_y=sel(init.rho_y, new.rho_y),
+                rho_z=sel(init.rho_z, new.rho_z),
+            )
+        else:
+            new = lax.cond(
+                t == 0, lambda s: add_initial_pressure(s, ops, src.p0, fft),
+                lambda s: s, new,
+            )
     return new
 
 
@@ -340,6 +359,14 @@ def shifted_velocity(state: SimState, ops: Operators):
         else None
     )
     return ux, uy, uz
+
+
+def make_p0_init(grid: Grid, ops: Operators, p0: jax.Array,
+                 fft: FftOps = LOCAL_FFT) -> SimState:
+    """Precompute the state addInitialPressureSource produces at t==0 (it does not depend
+    on the running state), so step() selects it cheaply instead of recomputing 4 FFTs per
+    scan iteration. Pass the result as Sources.p0_init."""
+    return add_initial_pressure(init_state(grid), ops, jnp.asarray(p0), fft)
 
 
 def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array,
@@ -369,9 +396,35 @@ def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "sample_fn", "t0", "fft")
-)
+def make_simulate_fn(
+    ops: Operators,
+    src: Sources,
+    cfg: SolverConfig,
+    n_steps: int,
+    sample_fn: Optional[Callable[[SimState], Any]] = None,
+    fft: FftOps = LOCAL_FFT,
+):
+    """Build the jitted main loop: ``run(state, t0) -> (state, samples)``.
+
+    ``ops`` and ``src`` are closed over — baked into the executable as constants. On
+    remote backends (the axon TPU tunnel) passing the full operator set as runtime
+    arguments re-stages ~dozens of large buffers per execution (~25x slower at 128^3);
+    as closure constants they upload once at compile time. ``t0`` is a traced scalar so
+    checkpoint legs / lead-ins don't recompile per start index.
+    """
+
+    @jax.jit
+    def run(state: SimState, t0):
+        def body(carry, i):
+            new = step(carry, t0 + i, ops, src, cfg, fft)
+            out = sample_fn(new) if sample_fn is not None else None
+            return new, out
+
+        return lax.scan(body, state, jnp.arange(n_steps))
+
+    return run
+
+
 def simulate(
     state: SimState,
     ops: Operators,
@@ -389,13 +442,10 @@ def simulate(
     KSpaceFirstOrderSolver.cpp:1060-1068; callers slice ``[cfg.sampling_start_index - t0:]``).
     Checkpoint/restart = call again with the carried state and t0 = steps done
     (saveCheckpointData/loadInputData recovery, :1176/:186-228).
+
+    Convenience wrapper around `make_simulate_fn` — builds (and compiles) a fresh closure
+    per call; hot callers that invoke the loop repeatedly should hold the function
+    returned by `make_simulate_fn` instead.
     """
-
-    def body(carry, t):
-        new = step(carry, t, ops, src, cfg, fft)
-        out = sample_fn(new) if sample_fn is not None else None
-        return new, out
-
-    ts = jnp.arange(t0, t0 + n_steps)
-    final, samples = lax.scan(body, state, ts)
-    return final, samples
+    run = make_simulate_fn(ops, src, cfg, n_steps, sample_fn, fft)
+    return run(state, jnp.int32(t0))

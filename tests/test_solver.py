@@ -206,3 +206,33 @@ def test_nonuniform_grid_reduces_to_uniform():
     fs, _ = simulate(init_state(grid), ops_s, src, cfg, 10)
     assert np.isfinite(np.asarray(fs.p)).all()
     assert np.abs(np.asarray(fs.p) - np.asarray(fu.p)).max() > 0
+
+
+def test_p0_init_matches_cond_path():
+    """Precomputed p0_init (Sources.p0_init) must reproduce the lax.cond
+    addInitialPressureSource path bitwise, at t==0 and t>0."""
+    import jax.numpy as jnp
+
+    from kwave_tpu.solver import (
+        Grid, Medium, SolverConfig, Sources, init_state, make_operators, make_p0_init,
+        step,
+    )
+
+    n = 16
+    grid = Grid(nx=n, ny=n, nz=n, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=8)
+    ops = make_operators(grid, Medium(c0=1500.0, rho0=1000.0), (4, 4, 4), (2.0,) * 3)
+    cfg = SolverConfig(p0_source_flag=True)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    src_cond = Sources(p0=jnp.asarray(p0))
+    src_init = Sources(p0=jnp.asarray(p0), p0_init=make_p0_init(grid, ops, p0))
+
+    s_cond = init_state(grid)
+    s_init = init_state(grid)
+    for t in range(3):
+        s_cond = step(s_cond, jnp.int32(t), ops, src_cond, cfg)
+        s_init = step(s_init, jnp.int32(t), ops, src_init, cfg)
+        for f in ("p", "ux_sgx", "uy_sgy", "uz_sgz", "rho_x", "rho_y", "rho_z"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(s_cond, f)), np.asarray(getattr(s_init, f)),
+                err_msg=f"{f} at t={t}")

@@ -34,13 +34,17 @@ def run(n_devices: int, n_sensors: int) -> float:
     x = (1e5 * np.sin(2 * np.pi * t / PERIOD)
          + 1e3 * rng.standard_normal((T, n_sensors))).astype(np.float32)
 
+    # scalar probe forces device execution (block_until_ready returns early on remote
+    # backends like the axon tunnel — see tools/bench_solver.py)
+    probe = jax.jit(lambda fr: jnp.sum(fr[0]) + jnp.sum(fr[1]))
+
     out = encode_sharded(x, cb, mesh)  # warmup
-    jax.block_until_ready(out)
+    float(probe(out))
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = encode_sharded(x, cb, mesh)
-    jax.block_until_ready(out)
+    float(probe(out))
     dt = (time.perf_counter() - t0) / reps
     gather_frames(out, mesh)
     return x.nbytes / dt / 1e9
