@@ -142,17 +142,82 @@ def post_process_output_file(
     is3d = grid.dim == 3
     axes = ("x", "y", "z") if is3d else ("x", "y")
     with h5py.File(output_path, "r+") as f:
+        # cuboid-mask runs store series as HDF5 groups with per-cuboid datasets "1","2",...
+        # (CuboidOutputStream.cpp:656-722); assemble them into the linearized point order
+        # (cuboid-concatenated, x fastest — the same order as the sensor mask index list)
+        probe_name = ("p" + dn.COMPRESS_SUFFIX) if from_coeffs else dn.P
+        is_cuboid = isinstance(f[probe_name], h5py.Group)
+        cuboid_shapes = None  # geometric (cz, cy, cx) per cuboid
+        if is_cuboid:
+            grp = f[probe_name]
+            keys = sorted(grp.keys(), key=int)
+            first = grp[keys[0]]
+            vpp = 1
+            if from_coeffs:
+                if float(first.attrs["c_complex_size"]) != 2.0:
+                    raise NotImplementedError(
+                        "cuboid-layout 40-bit coefficient post-processing is not "
+                        "supported (the reference cannot post-process coefficients in "
+                        "40-bit mode at all, KSpaceFirstOrderSolver.cpp:1541; index-mask "
+                        "40-bit post IS supported here)")
+                vpp = 2 * int(first.attrs["c_harmonics"])
+            cuboid_shapes = [
+                (grp[k].shape[1], grp[k].shape[2], grp[k].shape[3] // vpp) for k in keys
+            ]
+
+        def read_rows(name, lo, hi):
+            """Rows [lo:hi) as [n, Npts*values_per_point] in linearized point order."""
+            obj = f[name]
+            if not is_cuboid:
+                return obj[0, lo:hi]
+            parts = []
+            for k in sorted(obj.keys(), key=int):
+                d = obj[k][lo:hi]  # [n, cz, cy, cx*vpp]
+                parts.append(d.reshape(d.shape[0], -1))
+            return np.concatenate(parts, axis=1)
+
+        def series_dims(name):
+            """(n_rows, values_per_row) of a flat dataset or cuboid group."""
+            obj = f[name]
+            if not is_cuboid:
+                return obj.shape[1], obj.shape[2]
+            keys_ = sorted(obj.keys(), key=int)
+            return obj[keys_[0]].shape[0], sum(
+                int(np.prod(obj[k].shape[1:])) for k in keys_
+            )
+
+        def coeff_attrs(name):
+            obj = f[name]
+            return obj[sorted(obj.keys(), key=int)[0]].attrs if is_cuboid else obj.attrs
+
+        def write_result(name, values):
+            """Aggregate [Npts] -> flat dataset or per-cuboid group, mirroring the run's
+            layout (the reference's cuboid IAvg/QTerm streams write per-cuboid blocks)."""
+            if name in f:
+                del f[name]
+            if not is_cuboid:
+                ds = create_dataset(f, name, (1, 1, values.shape[0]))
+                ds[...] = values.reshape(1, 1, -1)
+                return
+            grp = f.create_group(name)
+            off = 0
+            for ci, (cz, cy, cx) in enumerate(cuboid_shapes):
+                npts = cz * cy * cx
+                grp.create_dataset(str(ci + 1), data=values[off : off + npts]
+                                   .reshape(1, cz, cy, cx).astype(np.float32))
+                off += npts
+
         if from_coeffs:
 
             def load_coeffs(name, lo, hi):
-                """Frame rows [lo:hi) of a `*_c` dataset -> (re, im) [hi-lo, N, H]. Handles
-                both 64-bit interleaved floats and the packed 40-bit rows (which the
-                reference's post path cannot, note :1541 — here the integer unpack is
-                exact on any backend)."""
-                ds = f[name]
-                rows = ds[0, lo:hi]  # [blk, mSize]
-                h_ = int(ds.attrs["c_harmonics"])
-                cs = float(ds.attrs["c_complex_size"])
+                """Frame rows [lo:hi) of a `*_c` dataset/group -> (re, im) [hi-lo, N, H].
+                Handles both 64-bit interleaved floats and (index layout) the packed
+                40-bit rows — the reference's post path cannot post-process 40-bit at
+                all, note :1541; here the integer unpack is exact on any backend."""
+                rows = read_rows(name, lo, hi)  # [blk, mSize]
+                attrs = coeff_attrs(name)
+                h_ = int(attrs["c_harmonics"])
+                cs = float(attrs["c_complex_size"])
                 if cs == 2.0:
                     n_ = rows.shape[1] // (2 * h_)
                     c = rows.reshape(rows.shape[0], n_, h_, 2)
@@ -160,7 +225,7 @@ def post_process_output_file(
                 from kwave_tpu import bitpack
                 from kwave_tpu.oracle import bytes_to_soa
 
-                e = int(ds.attrs["c_max_exp"])
+                e = int(attrs["c_max_exp"])
                 n_ = int(rows.shape[1] / (cs * h_))
                 raw = rows.view(np.uint8)[:, : 5 * n_ * h_]
                 hdr, mr, mi = bytes_to_soa(np.ascontiguousarray(raw).reshape(-1))
@@ -172,8 +237,7 @@ def post_process_output_file(
                 )
                 return np.asarray(re), np.asarray(im)
 
-            ds_p = f["p" + dn.COMPRESS_SUFFIX]
-            n_frames, m_size = ds_p.shape[1], ds_p.shape[2]
+            n_frames, m_size = series_dims("p" + dn.COMPRESS_SUFFIX)
             blk = n_frames if block_size is None else max(1, block_size // max(m_size, 1))
             acc = {a: None for a in axes}
             for lo in range(0, n_frames, blk):
@@ -191,24 +255,33 @@ def post_process_output_file(
                 a: (acc[a] / n_frames * 0.5).astype(np.float32) for a in axes
             }
         else:
-            ds_p = f[dn.P]
-            t_steps, n_sens = ds_p.shape[1], ds_p.shape[2]
-            blk = n_sens if block_size is None else max(1, block_size // max(t_steps, 1))
+            t_steps, n_sens = series_dims(dn.P)
+            if is_cuboid:
+                # point-blocking would split cuboid rows; time blocks don't work (the
+                # half-step shift needs the full time axis), so block over whole cuboids
+                blk = n_sens
+            else:
+                blk = (n_sens if block_size is None
+                       else max(1, block_size // max(t_steps, 1)))
             intensities = {a: np.empty(n_sens, np.float32) for a in axes}
             for lo in range(0, n_sens, blk):
                 hi = min(lo + blk, n_sens)
-                p = jnp.asarray(ds_p[0, :, lo:hi])  # [T, blk]
+                if is_cuboid:
+                    p = jnp.asarray(read_rows(dn.P, 0, t_steps)[:, lo:hi])
+                else:
+                    p = jnp.asarray(f[dn.P][0, :, lo:hi])  # [T, blk]
                 for a in axes:
-                    u = jnp.asarray(f[f"u{a}_non_staggered"][0, :, lo:hi])
+                    if is_cuboid:
+                        u = jnp.asarray(
+                            read_rows(f"u{a}_non_staggered", 0, t_steps)[:, lo:hi])
+                    else:
+                        u = jnp.asarray(f[f"u{a}_non_staggered"][0, :, lo:hi])
                     intensities[a][lo:hi] = np.asarray(avg_intensity_raw(p, u))
 
         if want_i_avg:
             for a in axes:
                 name = f"I{a}_avg" + (dn.COMPRESS_SUFFIX if from_coeffs else "")
-                if name in f:
-                    del f[name]
-                ds = create_dataset(f, name, (1, 1, intensities[a].shape[0]))
-                ds[...] = intensities[a].reshape(1, 1, -1)
+                write_result(name, intensities[a])
 
         if want_q_term:
             mask = jnp.asarray(sensor_mask_index.astype(np.int32))
@@ -224,7 +297,4 @@ def post_process_output_file(
             )
             qs = np.asarray(jnp.take(jnp.asarray(q.reshape(-1)), mask))
             name = dn.Q_TERM + (dn.COMPRESS_SUFFIX if from_coeffs else "")
-            if name in f:
-                del f[name]
-            ds = create_dataset(f, name, (1, 1, qs.shape[0]))
-            ds[...] = qs.reshape(1, 1, -1)
+            write_result(name, qs)

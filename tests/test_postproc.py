@@ -116,3 +116,35 @@ def test_block_size_matches_unblocked(tmp_path):
         for k, v in ref.items():
             got = np.asarray(f[k])
             np.testing.assert_allclose(got, v, rtol=1e-5, atol=1e-8, err_msg=k)
+
+
+def test_i_avg_and_q_term_cuboid_layout(tmp_path):
+    """--post on a cuboid-mask run: series live in per-cuboid HDF5 groups; intensity and
+    Q-term results must come back in the same per-cuboid layout and agree with an
+    equivalent index-mask run (same points)."""
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=60)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    corners = np.array([[2, 3, 4, 5, 6, 7], [9, 9, 9, 12, 10, 9]])  # two cuboids
+    base = dict(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+                pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3, p0=p0)
+    run = RunConfig(flags={}, i_avg=True, q_term=True, i_avg_c=True,
+                    period=10.0, harmonics=2)
+
+    out_c = str(tmp_path / "cuboid.h5")
+    run_simulation(InputData(sensor_mask_corners=corners, **base), run, out_c)
+
+    from kwave_tpu.driver import _corners_to_indices
+
+    mask = _corners_to_indices(corners, grid)
+    out_i = str(tmp_path / "index.h5")
+    run_simulation(InputData(sensor_mask_index=mask, **base), run, out_i)
+
+    with h5py.File(out_c) as fc, h5py.File(out_i) as fi:
+        for name in ("Ix_avg", "Iy_avg", "Iz_avg", "Q_term", "Ix_avg_c"):
+            grp = fc[name]
+            assert isinstance(grp, h5py.Group), name
+            got = np.concatenate(
+                [np.asarray(grp[k]).reshape(-1) for k in sorted(grp.keys(), key=int)])
+            want = np.asarray(fi[name]).reshape(-1)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9, err_msg=name)
