@@ -115,15 +115,20 @@ def make_window_fn(
     (sim_state, stream_states, emissions). Runs o_size solver steps, gathers every wanted
     source each step, then advances all streams one window.
 
-    When ``ops``/``src``/``mask`` are given they are closed over and baked into the
-    executable as constants — required for performance on remote backends (the axon TPU
-    tunnel re-stages large runtime argument buffers on every execution: ~25x slower at
-    128^3), and generally XLA-friendlier since the operators are run-constant. The
-    argument-passing form (all three None) remains for sharded multi-chip callers that
-    device_put operators with explicit shardings."""
+    When ``ops``/``src``/``mask`` are given they are staged on device once here and
+    bound as run-constant device arguments of the compiled window. (Host-numpy args
+    would re-upload per call — ~25x slower over the axon tunnel; closure constants
+    would inline them into the HLO — hundreds of MB at 256^3, rejected by the remote
+    compiler. See make_simulate_fn.) The explicit argument-passing form (all three
+    None) remains for sharded multi-chip callers that device_put operators with their
+    own shardings."""
     wanted = streams_mod.needed_sources(specs)
     whole_domain = [s for s in specs if s.op in ("max_all", "min_all")]
     closed = ops is not None
+    if closed:
+        ops = jax.tree_util.tree_map(jnp.asarray, ops)
+        src = jax.tree_util.tree_map(jnp.asarray, src)
+        mask = jnp.asarray(mask)
     c_ops, c_src, c_mask = ops, src, mask
 
     def _fold_wd(wd, st):
@@ -169,15 +174,15 @@ def make_window_fn(
         new_states, emissions = streams_mod.process_chunk(pre, chunks, {}, specs, basis)
         return sim2, new_states, emissions
 
+    jitted = jax.jit(window_impl)
     if closed:
 
-        @jax.jit
         def window(sim_state, stream_states, t0):
-            return window_impl(sim_state, stream_states, t0, c_ops, c_src, c_mask)
+            return jitted(sim_state, stream_states, t0, c_ops, c_src, c_mask)
 
         return window
 
-    return jax.jit(window_impl)
+    return jitted
 
 
 def _field_attr(source: str) -> str:
@@ -360,12 +365,17 @@ def run_simulation(
 
     n_windows = (grid.nt - t) // o
     interrupted = False
+    pending = None  # one-window-delayed flush: host HDF5 writes of window w overlap the
+    # device compute of window w+1 (the reference's delayed flushRawStreams,
+    # KSpaceFirstOrderSolver.cpp:1065-1072, restructured at window granularity)
     for w in range(n_windows):
         t_it = _time.time()
         sim_state, stream_states, emissions = window(
             sim_state, stream_states, jnp.int32(t)
         )
-        writer.flush_emissions(emissions)
+        if pending is not None:
+            writer.flush_emissions(pending)
+        pending = emissions
         dt_it = _time.time() - t_it
         for _ in range(o):
             timers.add_iteration(dt_it / o, sampled=True)
@@ -383,6 +393,9 @@ def run_simulation(
             interrupted = True
             break
 
+    if pending is not None:
+        writer.flush_emissions(pending)
+        pending = None
     if interrupted:
         # aggregates are persisted RAW at leg boundaries; only the final leg finalizes
         # (IndexOutputStream reopen/postProcess split)

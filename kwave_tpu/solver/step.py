@@ -406,21 +406,28 @@ def make_simulate_fn(
 ):
     """Build the jitted main loop: ``run(state, t0) -> (state, samples)``.
 
-    ``ops`` and ``src`` are closed over — baked into the executable as constants. On
-    remote backends (the axon TPU tunnel) passing the full operator set as runtime
-    arguments re-stages ~dozens of large buffers per execution (~25x slower at 128^3);
-    as closure constants they upload once at compile time. ``t0`` is a traced scalar so
+    ``ops`` and ``src`` are staged onto the device HERE, once, and passed to the jitted
+    program as runtime arguments. Both alternatives fail at scale: host-numpy arguments
+    are re-uploaded on every execution (~25x slower over the axon tunnel at 128^3), and
+    closing over them bakes the full operator set into the lowered HLO as dense literals
+    (606 MB of StableHLO at 256^3 — the remote compile service rejects it with HTTP 413).
+    Device-resident buffers passed by handle avoid both. ``t0`` is a traced scalar so
     checkpoint legs / lead-ins don't recompile per start index.
     """
+    ops = jax.tree_util.tree_map(jnp.asarray, ops)
+    src = jax.tree_util.tree_map(jnp.asarray, src)
 
     @jax.jit
-    def run(state: SimState, t0):
+    def _run(state: SimState, t0, ops_, src_):
         def body(carry, i):
-            new = step(carry, t0 + i, ops, src, cfg, fft)
+            new = step(carry, t0 + i, ops_, src_, cfg, fft)
             out = sample_fn(new) if sample_fn is not None else None
             return new, out
 
         return lax.scan(body, state, jnp.arange(n_steps))
+
+    def run(state: SimState, t0):
+        return _run(state, t0, ops, src)
 
     return run
 
