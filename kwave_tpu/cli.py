@@ -60,8 +60,13 @@ def main(argv=None) -> int:
     run = args_to_run_config(args, dt=data.grid.dt)
     load_s = time.time() - t0
 
-    if not any(run.flags.values()):
-        # reference default: store raw pressure when nothing else requested
+    if not any(run.flags.values()) and not (
+        args.I_avg or args.I_avg_c or args.Q_term or args.Q_term_c
+    ):
+        # The reference's store-p-by-default was deliberately disabled in v1.3
+        # (CommandLineParameters.cpp:946: `mStorePressureRawFlag = false; // true;`) but
+        # a run with no outputs at all is useless, so keep the old default ONLY when no
+        # output of any kind (including intensity/Q-term) was requested.
         run.flags["p_raw"] = True
 
     t1 = time.time()

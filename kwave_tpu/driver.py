@@ -214,17 +214,38 @@ def run_simulation(
     is3d = grid.dim == 3
 
     flags = dict(run.flags)
-    # I_avg/Q_term need the p and non-staggered-u series stored first — the reference's
-    # hidden doNotSave dependency streams (OutputStreamContainer.cpp:269-325). Here the
-    # dependency series are regular datasets in the output file.
+    # I_avg/Q_term (raw mode) re-read the stored p / u_non_staggered series from the
+    # output file after the run (computeAverageIntensities), so those dependency series
+    # must be real saved datasets.
     if run.i_avg or run.q_term:
         flags["p_raw"] = True
         flags["u_non_staggered_raw"] = True
+    # I_avg_c/Q_term_c accumulate intensity on the fly from the coefficient frames; the
+    # dependency compressed streams run hidden (doNotSave) unless the user also asked for
+    # them — the reference's hidden dependency streams (OutputStreamContainer.cpp:269-325).
+    hidden_flags = set()
     if run.i_avg_c or run.q_term_c:
-        flags["p_c"] = True
-        flags["u_non_staggered_c"] = True
+        for k in ("p_c", "u_non_staggered_c"):
+            if not flags.get(k):
+                flags[k] = True
+                hidden_flags.add(k)
 
     specs = StreamSpec.from_flags(flags, is3d, run.mode40)
+    ax_letters = ("x", "y", "z") if is3d else ("x", "y")
+    if hidden_flags:
+        hidden_names = set()
+        if "p_c" in hidden_flags:
+            hidden_names.add("p_c")
+        if "u_non_staggered_c" in hidden_flags:
+            hidden_names |= {f"u{a}_non_staggered_c" for a in ax_letters}
+        specs = [
+            dataclasses.replace(s, save=False) if s.name in hidden_names else s
+            for s in specs
+        ]
+    if run.i_avg_c or run.q_term_c:
+        for a in ax_letters:
+            specs.append(StreamSpec(f"I{a}_avg_c", f"u{a}_shifted", "iavg_c",
+                                    mode40=run.mode40))
     has_c = any(s.op == "c" for s in specs)
     basis = None
     if has_c:
@@ -439,7 +460,8 @@ def run_simulation(
     timers.stop("simulation")
     timers.start("postprocessing")
     writer.flush_aggregates(
-        streams_mod.finalize_aggregates(stream_states, specs, sampled_steps)
+        streams_mod.finalize_aggregates(stream_states, specs, sampled_steps,
+                                        compressed_frames=sampled_steps // o)
     )
     finals = {}
     for s in specs:
@@ -462,22 +484,21 @@ def run_simulation(
     }
     f.close()
 
-    if run.i_avg or run.q_term or run.i_avg_c or run.q_term_c:
+    mask_np = np.asarray(mask)
+    if run.i_avg or run.q_term:
         from kwave_tpu.postproc import post_process_output_file
 
-        mask_np = np.asarray(mask)
-        if run.i_avg or run.q_term:
-            post_process_output_file(
-                output_path, grid, mask_np,
-                want_i_avg=run.i_avg, want_q_term=run.q_term, from_coeffs=False,
-                block_size=run.block_size,
-            )
-        if run.i_avg_c or run.q_term_c:
-            post_process_output_file(
-                output_path, grid, mask_np,
-                want_i_avg=run.i_avg_c, want_q_term=run.q_term_c, from_coeffs=True,
-                block_size=run.block_size,
-            )
+        post_process_output_file(
+            output_path, grid, mask_np,
+            want_i_avg=run.i_avg, want_q_term=run.q_term, from_coeffs=False,
+            block_size=run.block_size,
+        )
+    if run.q_term_c:
+        # I_avg_c was accumulated on the fly (iavg_c streams); Q term derives from it
+        # (computeQTerm over the IAvgC data, KSpaceFirstOrderSolver.cpp:1016-1030)
+        from kwave_tpu.postproc import q_term_from_intensity
+
+        q_term_from_intensity(output_path, grid, mask_np, suffix="_c")
 
     timers.stop("postprocessing")
     timers.stop("total")

@@ -107,6 +107,40 @@ def q_term(
     return -q
 
 
+def q_term_from_intensity(
+    output_path: str,
+    grid,
+    sensor_mask_index: np.ndarray,
+    suffix: str = "_c",
+) -> None:
+    """Q term from already-stored I{x,y,z}_avg<suffix> datasets (the on-the-fly I_avg_c
+    accumulation path: computeQTerm consumes the IAvgC streams' data,
+    KSpaceFirstOrderSolver.cpp:1016-1030 + :1783-2080)."""
+    import h5py
+
+    from kwave_tpu.io import names as dn
+    from kwave_tpu.io.hdf5 import create_dataset
+
+    is3d = grid.dim == 3
+    axes = ("x", "y", "z") if is3d else ("x", "y")
+    with h5py.File(output_path, "r+") as f:
+        intensities = {
+            a: np.asarray(f[f"I{a}_avg{suffix}"], np.float32).reshape(-1) for a in axes
+        }
+        mask = jnp.asarray(sensor_mask_index.astype(np.int32))
+        fields = [
+            scatter_to_grid(jnp.asarray(intensities[a]), mask, grid.shape) for a in axes
+        ]
+        q = q_term(fields[0], fields[1], fields[2] if is3d else None,
+                   grid.dx, grid.dy, grid.dz)
+        qs = np.asarray(jnp.take(jnp.asarray(np.asarray(q).reshape(-1)), mask))
+        name = dn.Q_TERM + suffix
+        if name in f:
+            del f[name]
+        ds = create_dataset(f, name, (1, 1, qs.shape[0]))
+        ds[...] = qs.reshape(1, 1, -1)
+
+
 # ---------------------------------------------------------------------------
 # File-level post-processing (--post mode / end-of-run)
 # ---------------------------------------------------------------------------

@@ -65,6 +65,10 @@ class StreamSpec:
     op: str
     mode40: bool = False
     shifted_basis: bool = False  # velocity non-staggered streams use shifted tables
+    # doNotSave: stream runs (samples/encodes/accumulates) but writes no dataset — the
+    # reference's hidden dependency streams for I_avg_c/Q_term_c
+    # (OutputStreamContainer.cpp:269-325)
+    save: bool = True
 
     @staticmethod
     def from_flags(
@@ -172,6 +176,10 @@ def init_stream_states(
             states[s.name] = sampling.init_reduce_buffer(s.op, n_sensors)
         elif s.op in ("max_all", "min_all"):
             states[s.name] = sampling.init_reduce_buffer(s.op.split("_")[0], n_grid)
+        elif s.op == "iavg_c":
+            # on-the-fly coefficient-space intensity accumulator (IndexOutputStream::
+            # postSample, IndexOutputStream.cpp:299-342)
+            states[s.name] = jnp.zeros(n_sensors, jnp.float32)
         else:  # raw / final
             states[s.name] = None
     return states
@@ -227,20 +235,44 @@ def process_chunk(
                     else jnp.minimum(states[s.name], cur)
                 )
         # final: handled at end of run from the last state
+    # second pass: coefficient-space intensity accumulation consumes the frames the `c`
+    # streams just emitted (one per window) — IndexOutputStream::postSample semantics,
+    # IndexOutputStream.cpp:299-342 (incl. the 40-bit decode of the packed partners)
+    for s in specs:
+        if s.op != "iavg_c":
+            continue
+        axis = s.name[1]  # "Ix_avg_c" -> "x"
+        pf = out["p" + dn.COMPRESS_SUFFIX]
+        uf = out[f"u{axis}_non_staggered" + dn.COMPRESS_SUFFIX]
+        if s.mode40:
+            from kwave_tpu import bitpack
+
+            p_re, p_im = bitpack.decode40(*pf, MAX_EXP_P)
+            u_re, u_im = bitpack.decode40(*uf, MAX_EXP_U)
+        else:
+            p_re, p_im = pf
+            u_re, u_im = uf
+        from kwave_tpu.decoder import avg_intensity_update
+
+        new_states[s.name] = avg_intensity_update(states[s.name], p_re, p_im, u_re, u_im)
     return new_states, out
 
 
 def finalize_aggregates(
-    states: dict[str, Any], specs: list[StreamSpec], sampled_steps: int
+    states: dict[str, Any], specs: list[StreamSpec], sampled_steps: int,
+    compressed_frames: int = 0,
 ) -> dict[str, np.ndarray]:
     """Post-processing of aggregate buffers (BaseOutputStream::postProcess,
-    BaseOutputStream.cpp:160-180: rms scaled by 1/(Nt-s) and sqrt'd)."""
+    BaseOutputStream.cpp:160-180: rms scaled by 1/(Nt-s) and sqrt'd; IAvgC divided by
+    the number of completed frames, IndexOutputStream.cpp:482-490)."""
     out = {}
     for s in specs:
         if s.op == "rms":
             out[s.name] = np.asarray(sampling.post_rms(states[s.name], sampled_steps))
         elif s.op in ("max", "min", "max_all", "min_all"):
             out[s.name] = np.asarray(states[s.name])
+        elif s.op == "iavg_c":
+            out[s.name] = np.asarray(states[s.name]) / max(compressed_frames, 1)
     return out
 
 
@@ -345,7 +377,7 @@ def restore_aggregates_from_file(
     if sampled_steps_done <= 0:
         return new
     for s in specs:
-        if s.op in ("rms", "max", "min", "max_all", "min_all"):
+        if s.op in ("rms", "max", "min", "max_all", "min_all", "iavg_c"):
             new[s.name] = jnp_.asarray(
                 np.asarray(h5file[s.name], np.float32).reshape(-1)
             )
@@ -357,7 +389,7 @@ def raw_aggregates(states: dict[str, Any], specs: list[StreamSpec]) -> dict[str,
     return {
         s.name: np.asarray(states[s.name])
         for s in specs
-        if s.op in ("rms", "max", "min", "max_all", "min_all")
+        if s.op in ("rms", "max", "min", "max_all", "min_all", "iavg_c")
     }
 
 
@@ -406,10 +438,12 @@ class StreamWriter:
             for s in specs
         }
         if reopen:
-            self.datasets = {s.name: h5file[s.name] for s in specs}
+            self.datasets = {s.name: h5file[s.name] for s in specs if s.save}
             return
         self.datasets = {}
         for s in specs:
+            if not s.save:
+                continue
             attrs = None
             if s.op == "c":
                 attrs = CompressionAttrs(
@@ -433,7 +467,7 @@ class StreamWriter:
                 self.datasets[s.name] = create_compressed_dataset(
                     h5file, s.name, n_sensors, sampled_steps, attrs, compression_level
                 )
-            elif s.op in ("rms", "max", "min"):
+            elif s.op in ("rms", "max", "min", "iavg_c"):
                 self.datasets[s.name] = create_aggregate_dataset(
                     h5file, s.name, n_sensors, compression_level
                 )
@@ -462,6 +496,8 @@ class StreamWriter:
             if data is None:
                 continue
             spec = self.specs[name]
+            if not spec.save:  # hidden dependency stream (doNotSave)
+                continue
             ds = self.datasets[name]
             if spec.op == "raw":
                 rows = np.asarray(data)

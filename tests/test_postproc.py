@@ -67,8 +67,10 @@ def test_i_avg_and_q_term_end_to_end(tmp_path):
                     period=10.0, harmonics=2)
     run_simulation(data, run, out)
     with h5py.File(out, "r") as f:
-        # dependency streams auto-enabled
-        assert "p" in f and "ux_non_staggered" in f and "p_c" in f
+        # raw dependency streams are stored (read back by the post pass); the coefficient
+        # dependencies run hidden (doNotSave, OutputStreamContainer.cpp:269-325)
+        assert "p" in f and "ux_non_staggered" in f
+        assert "p_c" not in f and "ux_non_staggered_c" not in f
         for name in ("Ix_avg", "Iy_avg", "Iz_avg", "Q_term", "Ix_avg_c"):
             assert name in f, name
             assert np.isfinite(np.asarray(f[name])).all()
@@ -82,15 +84,25 @@ def test_i_avg_and_q_term_end_to_end(tmp_path):
 
 
 def test_i_avg_c_40bit(tmp_path):
-    """Coefficient intensity from packed 40-bit streams (beyond the reference's post path)."""
+    """On-the-fly coefficient intensity from packed 40-bit frames (beyond the reference's
+    post path, which cannot handle 40-bit at all — note :1541)."""
     data = _sim_input()
     out = str(tmp_path / "out40.h5")
     run = RunConfig(flags={}, i_avg_c=True, period=10.0, harmonics=1, mode40=True)
     run_simulation(data, run, out)
     with h5py.File(out, "r") as f:
-        assert f["p_c"].attrs["c_complex_size"] == np.float32(1.25)
+        assert "p_c" not in f  # hidden dependency stream
         ixc = np.asarray(f["Ix_avg_c"])
         assert np.isfinite(ixc).all() and np.abs(ixc).max() > 0
+
+    # explicit --p_c keeps the dependency visible AND the on-the-fly intensity equal
+    out2 = str(tmp_path / "out40b.h5")
+    run2 = RunConfig(flags=dict(p_c=True, u_non_staggered_c=True), i_avg_c=True,
+                     period=10.0, harmonics=1, mode40=True)
+    run_simulation(data, run2, out2)
+    with h5py.File(out2, "r") as f:
+        assert f["p_c"].attrs["c_complex_size"] == np.float32(1.25)
+        np.testing.assert_array_equal(np.asarray(f["Ix_avg_c"]), ixc)
 
 
 def test_block_size_matches_unblocked(tmp_path):
@@ -100,7 +112,10 @@ def test_block_size_matches_unblocked(tmp_path):
 
     data = _sim_input()
     out = str(tmp_path / "out.h5")
-    run = RunConfig(flags={}, i_avg=True, q_term=True, i_avg_c=True,
+    # store the coefficient streams explicitly so the --post reader can re-derive
+    # intensity from the file (the on-the-fly path tested elsewhere does not store them)
+    run = RunConfig(flags=dict(p_c=True, u_non_staggered_c=True),
+                    i_avg=True, q_term=True, i_avg_c=True,
                     period=10.0, harmonics=2)
     run_simulation(data, run, out)
     with h5py.File(out, "r") as f:
@@ -141,10 +156,15 @@ def test_i_avg_and_q_term_cuboid_layout(tmp_path):
     run_simulation(InputData(sensor_mask_index=mask, **base), run, out_i)
 
     with h5py.File(out_c) as fc, h5py.File(out_i) as fi:
-        for name in ("Ix_avg", "Iy_avg", "Iz_avg", "Q_term", "Ix_avg_c"):
+        for name in ("Ix_avg", "Iy_avg", "Iz_avg", "Q_term"):
             grp = fc[name]
             assert isinstance(grp, h5py.Group), name
             got = np.concatenate(
                 [np.asarray(grp[k]).reshape(-1) for k in sorted(grp.keys(), key=int)])
             want = np.asarray(fi[name]).reshape(-1)
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9, err_msg=name)
+        # the on-the-fly coefficient intensity is an aggregate (flat, linearized point
+        # order) in both layouts
+        np.testing.assert_allclose(
+            np.asarray(fc["Ix_avg_c"]).reshape(-1),
+            np.asarray(fi["Ix_avg_c"]).reshape(-1), rtol=1e-5, atol=1e-9)
