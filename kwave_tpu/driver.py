@@ -174,7 +174,9 @@ def make_window_fn(
         new_states, emissions = streams_mod.process_chunk(pre, chunks, {}, specs, basis)
         return sim2, new_states, emissions
 
-    jitted = jax.jit(window_impl)
+    # donate the carried simulation fields (callers always rebind the returned state;
+    # saves a full state double-buffer — 3.5 GB at 512^3)
+    jitted = jax.jit(window_impl, donate_argnums=(0,))
     if closed:
 
         def window(sim_state, stream_states, t0):

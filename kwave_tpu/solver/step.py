@@ -115,17 +115,20 @@ class SolverConfig:
 
 
 def init_state(grid: Grid) -> SimState:
-    """All-zero fields (the reference zeroes device matrices at allocation)."""
-    z = jnp.zeros(grid.shape, jnp.float32)
+    """All-zero fields (the reference zeroes device matrices at allocation).
+
+    Each field gets its OWN buffer — the jitted loops donate the state, and donating one
+    buffer through several pytree leaves is rejected (`donate(a), donate(a)`)."""
+    z = lambda: jnp.zeros(grid.shape, jnp.float32)  # noqa: E731
     is3d = grid.dim == 3
     return SimState(
-        p=z,
-        ux_sgx=z,
-        uy_sgy=z,
-        uz_sgz=z if is3d else None,
-        rho_x=z,
-        rho_y=z,
-        rho_z=z if is3d else None,
+        p=z(),
+        ux_sgx=z(),
+        uy_sgy=z(),
+        uz_sgz=z() if is3d else None,
+        rho_x=z(),
+        rho_y=z(),
+        rho_z=z() if is3d else None,
     )
 
 
@@ -417,7 +420,9 @@ def make_simulate_fn(
     ops = jax.tree_util.tree_map(jnp.asarray, ops)
     src = jax.tree_util.tree_map(jnp.asarray, src)
 
-    @jax.jit
+    # donate the carried fields: the caller never reuses the input state, and the
+    # double-buffer costs 7 full grids (3.5 GB at 512^3)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def _run(state: SimState, t0, ops_, src_):
         def body(carry, i):
             new = step(carry, t0 + i, ops_, src_, cfg, fft)
