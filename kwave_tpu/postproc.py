@@ -124,9 +124,23 @@ def q_term_from_intensity(
     is3d = grid.dim == 3
     axes = ("x", "y", "z") if is3d else ("x", "y")
     with h5py.File(output_path, "r+") as f:
-        intensities = {
-            a: np.asarray(f[f"I{a}_avg{suffix}"], np.float32).reshape(-1) for a in axes
-        }
+
+        def read_flat(name):
+            obj = f[name]
+            if isinstance(obj, h5py.Group):  # cuboid-layout aggregates
+                return np.concatenate([
+                    np.asarray(obj[k], np.float32).reshape(-1)
+                    for k in sorted(obj.keys(), key=int)
+                ])
+            return np.asarray(obj, np.float32).reshape(-1)
+
+        i_name = f"Ix_avg{suffix}"
+        cuboid_dims = None
+        if isinstance(f[i_name], h5py.Group):
+            grp = f[i_name]
+            cuboid_dims = [grp[k].shape[1:] for k in sorted(grp.keys(), key=int)]
+
+        intensities = {a: read_flat(f"I{a}_avg{suffix}") for a in axes}
         mask = jnp.asarray(sensor_mask_index.astype(np.int32))
         fields = [
             scatter_to_grid(jnp.asarray(intensities[a]), mask, grid.shape) for a in axes
@@ -137,8 +151,18 @@ def q_term_from_intensity(
         name = dn.Q_TERM + suffix
         if name in f:
             del f[name]
-        ds = create_dataset(f, name, (1, 1, qs.shape[0]))
-        ds[...] = qs.reshape(1, 1, -1)
+        if cuboid_dims is not None:  # mirror the run's per-cuboid layout
+            grp = f.create_group(name)
+            off = 0
+            for ci, dims in enumerate(cuboid_dims):
+                npts = int(np.prod(dims))
+                grp.create_dataset(str(ci + 1),
+                                   data=qs[off : off + npts].reshape((1,) + tuple(dims))
+                                   .astype(np.float32))
+                off += npts
+        else:
+            ds = create_dataset(f, name, (1, 1, qs.shape[0]))
+            ds[...] = qs.reshape(1, 1, -1)
 
 
 # ---------------------------------------------------------------------------

@@ -376,11 +376,18 @@ def restore_aggregates_from_file(
     new = dict(states)
     if sampled_steps_done <= 0:
         return new
+    import h5py
+
     for s in specs:
         if s.op in ("rms", "max", "min", "max_all", "min_all", "iavg_c"):
-            new[s.name] = jnp_.asarray(
-                np.asarray(h5file[s.name], np.float32).reshape(-1)
-            )
+            obj = h5file[s.name]
+            if isinstance(obj, h5py.Group):
+                new[s.name] = jnp_.asarray(np.concatenate([
+                    np.asarray(obj[k], np.float32).reshape(-1)
+                    for k in sorted(obj.keys(), key=int)
+                ]))
+            else:
+                new[s.name] = jnp_.asarray(np.asarray(obj, np.float32).reshape(-1))
     return new
 
 
@@ -468,9 +475,17 @@ class StreamWriter:
                     h5file, s.name, n_sensors, sampled_steps, attrs, compression_level
                 )
             elif s.op in ("rms", "max", "min", "iavg_c"):
-                self.datasets[s.name] = create_aggregate_dataset(
-                    h5file, s.name, n_sensors, compression_level
-                )
+                if cuboid_shapes is not None:
+                    # per-sensor aggregates of cuboid-mask runs keep the reference's
+                    # per-cuboid group layout (CuboidOutputStream handles every reduce op)
+                    self.datasets[s.name] = create_cuboid_group(
+                        h5file, s.name, cuboid_shapes, 1,
+                        compression_level=compression_level,
+                    )
+                else:
+                    self.datasets[s.name] = create_aggregate_dataset(
+                        h5file, s.name, n_sensors, compression_level
+                    )
             elif s.op in ("max_all", "min_all", "final"):
                 self.datasets[s.name] = create_aggregate_dataset(
                     h5file, s.name, n_grid, compression_level
@@ -562,8 +577,21 @@ class StreamWriter:
             off_pts += npts
 
     def flush_aggregates(self, finals: dict[str, np.ndarray]) -> None:
+        import h5py
+
         for name, data in finals.items():
-            self.datasets[name][...] = np.asarray(data).reshape(self.datasets[name].shape)
+            tgt = self.datasets[name]
+            vals = np.asarray(data)
+            if isinstance(tgt, h5py.Group):
+                off = 0
+                for ci, (cx, cy, cz) in enumerate(self.cuboid_shapes):
+                    npts = cx * cy * cz
+                    tgt[str(ci + 1)][...] = vals.reshape(-1)[off : off + npts].reshape(
+                        1, cz, cy, cx
+                    )
+                    off += npts
+            else:
+                tgt[...] = vals.reshape(tgt.shape)
 
     def flush_final_fields(self, field_map: dict[str, np.ndarray]) -> None:
         """p_final/u*_final snapshots (KSpaceFirstOrderSolver.cpp:962-985)."""

@@ -129,7 +129,7 @@ def test_driver_cuboid_mask_and_sampling_start(tmp_path):
     data.sensor_mask_index = None
     data.sensor_mask_corners = np.array([[2, 2, 2, 5, 4, 3], [8, 8, 8, 9, 9, 9]])
     out = str(tmp_path / "outc.h5")
-    run = RunConfig(flags=dict(p_raw=True, p_c=True), sampling_start=10,
+    run = RunConfig(flags=dict(p_raw=True, p_c=True, p_rms=True), sampling_start=10,
                     period=10.0, harmonics=1)
     run_simulation(data, run, out)
     with h5py.File(out, "r") as f:
@@ -142,6 +142,11 @@ def test_driver_cuboid_mask_and_sampling_start(tmp_path):
         assert pc["1"].shape == (30 // 10, 2, 3, 4 * 1 * 2)
         assert pc["1"].attrs["c_harmonics"] == 1
         assert np.abs(np.asarray(pc["1"])).max() > 0
+        # per-sensor aggregates keep the cuboid group layout too
+        rms = f["p_rms"]
+        assert isinstance(rms, h5py.Group) and rms["1"].shape == (1, 2, 3, 4)
+        want = np.sqrt(np.mean(np.asarray(grp["1"]) ** 2, axis=0))
+        np.testing.assert_allclose(np.asarray(rms["1"])[0], want, rtol=1e-5)
 
     # cross-check cuboid contents against an index-mask run over the same points
     from kwave_tpu.driver import _corners_to_indices

@@ -163,8 +163,11 @@ def test_i_avg_and_q_term_cuboid_layout(tmp_path):
                 [np.asarray(grp[k]).reshape(-1) for k in sorted(grp.keys(), key=int)])
             want = np.asarray(fi[name]).reshape(-1)
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9, err_msg=name)
-        # the on-the-fly coefficient intensity is an aggregate (flat, linearized point
-        # order) in both layouts
+        # the on-the-fly coefficient intensity is a per-sensor aggregate: per-cuboid
+        # group layout in cuboid runs (CuboidOutputStream handles every reduce op)
+        grp = fc["Ix_avg_c"]
+        assert isinstance(grp, h5py.Group)
+        got = np.concatenate(
+            [np.asarray(grp[k]).reshape(-1) for k in sorted(grp.keys(), key=int)])
         np.testing.assert_allclose(
-            np.asarray(fc["Ix_avg_c"]).reshape(-1),
-            np.asarray(fi["Ix_avg_c"]).reshape(-1), rtol=1e-5, atol=1e-9)
+            got, np.asarray(fi["Ix_avg_c"]).reshape(-1), rtol=1e-5, atol=1e-9)
