@@ -69,11 +69,18 @@ def main(argv=None) -> int:
         # output of any kind (including intensity/Q-term) was requested.
         run.flags["p_raw"] = True
 
+    mesh = None
+    if args.devices is not None and args.devices > 1:
+        from kwave_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.devices)
+
     t1 = time.time()
     summary = run_simulation(
         data, run, args.output_file,
         resume_from=args.checkpoint_file
         if args.checkpoint_file and _checkpoint_exists(args.checkpoint_file) else None,
+        mesh=mesh,
     )
     sim_s = time.time() - t1
 

@@ -110,6 +110,7 @@ def make_window_fn(
     ops=None,
     src=None,
     mask=None,
+    fft=None,
 ):
     """Jitted window program: (sim_state, stream_states, t0[, ops, src, mask]) ->
     (sim_state, stream_states, emissions). Runs o_size solver steps, gathers every wanted
@@ -130,6 +131,9 @@ def make_window_fn(
         src = jax.tree_util.tree_map(jnp.asarray, src)
         mask = jnp.asarray(mask)
     c_ops, c_src, c_mask = ops, src, mask
+    from kwave_tpu.solver.step import LOCAL_FFT
+
+    fft = fft or LOCAL_FFT
 
     def _fold_wd(wd, st):
         # per-step whole-domain extrema folded inside the scan (cudaSampleAll semantics,
@@ -150,7 +154,7 @@ def make_window_fn(
 
             def body(carry, i):
                 st, bufs, wd = carry
-                st = step(st, t0 + i, ops, src, cfg)
+                st = step(st, t0 + i, ops, src, cfg, fft)
                 rows = _gather_sources(st, ops, mask, wanted)
                 bufs = {
                     w: lax.dynamic_update_slice(bufs[w], rows[w][None, :], (i, 0))
@@ -165,7 +169,7 @@ def make_window_fn(
 
             def body(carry, i):
                 st, wd = carry
-                st = step(st, t0 + i, ops, src, cfg)
+                st = step(st, t0 + i, ops, src, cfg, fft)
                 return (st, _fold_wd(wd, st)), _gather_sources(st, ops, mask, wanted)
 
             (sim2, wd), chunks = lax.scan(body, (sim_state, wd0), jnp.arange(o_size))
@@ -197,8 +201,14 @@ def run_simulation(
     output_path: str,
     strategy: str = "ys",
     resume_from: Optional[str] = None,
+    mesh=None,
 ) -> dict[str, Any]:
     """Full compute(): load -> preprocess -> windowed main loop -> aggregates -> output.
+
+    With ``mesh`` (a 1-axis jax.sharding.Mesh) the whole run is multi-chip: fields are
+    z-sharded, spectral work goes through the pencil-decomposed distributed FFT, the
+    remaining ops are GSPMD-partitioned, and the host writer gathers each window's
+    emissions in sensor-index order (SURVEY.md §2.9 table).
 
     Returns a summary dict (dataset names -> shapes written)."""
     from kwave_tpu.utils.observability import (
@@ -271,7 +281,14 @@ def run_simulation(
     # every buffer on every window call (25x slower over the axon tunnel), while baking
     # them in as HLO constants blows up compilation at 256^3 — device-resident buffers
     # referenced by the executable are the fast path on both counts.
-    ops = jax.tree_util.tree_map(jnp.asarray, ops)
+    fft = None
+    if mesh is not None:
+        from kwave_tpu.parallel import pencil_fft, shard_operators
+
+        ops = shard_operators(ops, len(grid.shape), mesh, grid=grid, pencil=True)
+        fft = pencil_fft(mesh, grid.nx)
+    else:
+        ops = jax.tree_util.tree_map(jnp.asarray, ops)
     cfg = SolverConfig(
         nonlinear=data.nonlinear,
         absorbing=data.absorbing,
@@ -285,11 +302,20 @@ def run_simulation(
         transducer_source_flag=data.transducer_source_flag,
         sampling_start_index=run.sampling_start,
     )
-    from kwave_tpu.solver import make_p0_init
+    import contextlib
 
+    from kwave_tpu.solver import make_p0_init
+    from kwave_tpu.solver.step import LOCAL_FFT
+
+    mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
+    with mesh_ctx():
+        p0_init = (
+            make_p0_init(grid, ops, data.p0, fft or LOCAL_FFT)
+            if data.p0 is not None else None
+        )
     src = Sources(
         p0=jnp.asarray(data.p0) if data.p0 is not None else None,
-        p0_init=make_p0_init(grid, ops, data.p0) if data.p0 is not None else None,
+        p0_init=p0_init,
         p_index=jnp.asarray(data.p_source_index) if data.p_source_index is not None else None,
         p_signal=jnp.asarray(data.p_source_input) if data.p_source_input is not None else None,
         u_index=jnp.asarray(data.u_source_index) if data.u_source_index is not None else None,
@@ -318,6 +344,18 @@ def run_simulation(
     n_sensors = int(mask.shape[0])
 
     sim_state = init_state(grid)
+    if mesh is not None:
+        from kwave_tpu.parallel import field_sharding, replicated, shard_state
+
+        sim_state = shard_state(sim_state, mesh)
+
+        def _put_src(x):
+            if np.ndim(x) == len(grid.shape) and tuple(x.shape) == grid.shape:
+                return jax.device_put(x, field_sharding(mesh, len(grid.shape)))
+            return jax.device_put(x, replicated(mesh))
+
+        src = jax.tree_util.tree_map(_put_src, src)
+        mask = jax.device_put(mask, replicated(mesh))
     t0 = 0
     ck = None
     if resume_from is not None:
@@ -334,6 +372,10 @@ def run_simulation(
             rho_y=jnp.asarray(fd["rhoy"].reshape(shp)),
             rho_z=jnp.asarray(fd["rhoz"].reshape(shp)) if is3d else None,
         )
+        if mesh is not None:
+            from kwave_tpu.parallel import shard_state
+
+            sim_state = shard_state(sim_state, mesh)
 
     sampled_steps = grid.nt - run.sampling_start
     o = basis.o_size if basis is not None else min(max(sampled_steps, 1), 64)
@@ -366,7 +408,7 @@ def run_simulation(
     if ck is not None:
         timers.restore_cumulated(read_cumulated_times(f))
     window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
-                            ops=ops, src=src, mask=mask)
+                            ops=ops, src=src, mask=mask, fft=fft)
     timers.stop("preprocessing")
     timers.start("simulation")
     wall0 = _time.time()
@@ -378,8 +420,10 @@ def run_simulation(
         from kwave_tpu.solver import make_simulate_fn
 
         t_lead = _time.time()
-        lead = make_simulate_fn(ops, src, cfg, run.sampling_start - t)
-        sim_state, _ = lead(sim_state, jnp.int32(t))
+        lead = make_simulate_fn(ops, src, cfg, run.sampling_start - t,
+                                fft=fft or LOCAL_FFT)
+        with mesh_ctx():
+            sim_state, _ = lead(sim_state, jnp.int32(t))
         jax.block_until_ready(sim_state.p)
         dt_lead = _time.time() - t_lead
         for _ in range(run.sampling_start - t):
@@ -393,9 +437,10 @@ def run_simulation(
     # KSpaceFirstOrderSolver.cpp:1065-1072, restructured at window granularity)
     for w in range(n_windows):
         t_it = _time.time()
-        sim_state, stream_states, emissions = window(
-            sim_state, stream_states, jnp.int32(t)
-        )
+        with mesh_ctx():
+            sim_state, stream_states, emissions = window(
+                sim_state, stream_states, jnp.int32(t)
+            )
         if pending is not None:
             writer.flush_emissions(pending)
         pending = emissions
@@ -453,8 +498,10 @@ def run_simulation(
         tail_fn = make_simulate_fn(
             ops, src, cfg, rem,
             sample_fn=(lambda s: _gather_sources(s, ops, mask, wanted)) if wanted else None,
+            fft=fft or LOCAL_FFT,
         )
-        sim_state, tail = tail_fn(sim_state, jnp.int32(t))
+        with mesh_ctx():
+            sim_state, tail = tail_fn(sim_state, jnp.int32(t))
         if wanted:
             writer.flush_emissions({s.name: np.asarray(tail[s.source]) for s in raw_specs})
         t += rem

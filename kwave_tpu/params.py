@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(compat; ignored — XLA manages threads)")
     p.add_argument("-g", "--gpu_id", type=int, default=None,
                    help="(compat; ignored — JAX device binding)")
+    p.add_argument("--devices", type=int, default=None, metavar="N",
+                   help="run multi-chip over the first N jax devices "
+                        "(z-sharded fields + pencil FFT); default single device")
     p.add_argument("-c", "--compression_level", type=int, default=0,
                    help="output HDF5 gzip level 0-9")
     p.add_argument("-s", "--sampling_start", type=int, default=1,

@@ -72,3 +72,36 @@ def test_sharded_encode_matches_unsharded(mesh):
     got_re, got_im = gather_frames(out, mesh)
     np.testing.assert_allclose(got_re, np.asarray(ref_re), rtol=1e-6, atol=1e-2)
     np.testing.assert_allclose(got_im, np.asarray(ref_im), rtol=1e-6, atol=1e-2)
+
+
+def test_run_simulation_on_mesh_matches_single(mesh, tmp_path):
+    """The full driver on an 8-device mesh (z-sharded fields, pencil FFT, GSPMD rest)
+    writes the same output file contents as the single-device run."""
+    import h5py
+
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io.input_file import InputData
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    mask = np.sort(np.random.default_rng(4).choice(grid.n_elements, 40, replace=False))
+    data = InputData(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+        sensor_mask_index=mask, p0=p0,
+    )
+    run = RunConfig(flags=dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True),
+                    period=10.0, harmonics=2)
+
+    out1 = str(tmp_path / "single.h5")
+    run_simulation(data, run, out1)
+    out2 = str(tmp_path / "mesh.h5")
+    run_simulation(data, run, out2, mesh=mesh)
+
+    with h5py.File(out1) as f1, h5py.File(out2) as f2:
+        for name in ("p", "p_c", "p_rms", "p_max_all"):
+            a, b = np.asarray(f1[name]), np.asarray(f2[name])
+            scale = max(np.abs(a).max(), 1e-30)
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6 * scale,
+                                       err_msg=name)
