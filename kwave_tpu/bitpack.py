@@ -102,6 +102,99 @@ def decode40(header: jax.Array, mr: jax.Array, mi: jax.Array, e: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# Generalized W-bit complex packing (BASELINE config #3: mixed 8/16/32/40-bit)
+# ---------------------------------------------------------------------------
+#
+# The reference implements exactly one packed size (40-bit). The format family
+# generalizes naturally: W = 2 sign bits + 2*M mantissa bits + 4 shared-exponent bits,
+# with M mantissa bits (incl. the leading-zeros flag bit encoding the per-part exponent
+# decrement). M=17 -> the reference's 40-bit layout (encode40/decode40 above are the
+# bit-exact specialization); M=13 -> 32-bit, M=9 -> 24-bit, M=5 -> 16-bit, M=1 -> 8-bit.
+# All sizes share the reference's arithmetic: shared-exponent alignment,
+# truncate-then-increment rounding with overflow guard, saturation.
+
+SUPPORTED_MANT_BITS = {8: 1, 16: 5, 24: 9, 32: 13, 40: 17}
+
+
+def encode_packed(re: jax.Array, im: jax.Array, e: int, total_bits: int = 40):
+    """Pack fp32 complex -> (header, mR, mI) uint32 SoA planes at the given field width.
+
+    header: low byte = [s_r | s_i | mantissa carry bits (40-bit only) | e(4)];
+    mr/mi: low M bits (M = SUPPORTED_MANT_BITS[total_bits])."""
+    if total_bits == 40:
+        return encode40(re, im, e)
+    m_bits = SUPPORTED_MANT_BITS[total_bits]
+    rs0 = 23 - m_bits  # generalizes the 40-bit base shift of 6 (CompressHelper.cpp:330)
+    bits_r = lax.bitcast_convert_type(re.astype(jnp.float32), _U32)
+    bits_i = lax.bitcast_convert_type(im.astype(jnp.float32), _U32)
+    s_r = bits_r >> 31
+    s_i = bits_i >> 31
+    e_rs = ((bits_r >> 23) & 0xFF).astype(_I32) - jnp.int32(e)
+    e_is = ((bits_i >> 23) & 0xFF).astype(_I32) - jnp.int32(e)
+    e_s = jnp.maximum(e_rs, e_is)
+    m_r = bits_r & 0x007FFFFF
+    m_i = bits_i & 0x007FFFFF
+    rs_r = (rs0 + jnp.maximum(e_is - e_rs, 0)) & 0xFF
+    rs_i = (rs0 + jnp.maximum(e_rs - e_is, 0)) & 0xFF
+    neg = e_s < 0
+    rs_r = jnp.where(neg, (rs_r - e_s) & 0xFF, rs_r)
+    rs_i = jnp.where(neg, (rs_i - e_s) & 0xFF, rs_i)
+    e_s = jnp.maximum(e_s, 0)
+    rs_r = jnp.minimum(rs_r, 23).astype(_U32)
+    rs_i = jnp.minimum(rs_i, 23).astype(_U32)
+    m_r = m_r >> rs_r
+    m_i = m_i >> rs_i
+    max_r = jnp.uint32(0x7FFFFF) >> rs_r
+    max_i = jnp.uint32(0x7FFFFF) >> rs_i
+    m_r = jnp.where((m_r > 0) & (m_r != max_r), m_r + 1, m_r)
+    m_i = jnp.where((m_i > 0) & (m_i != max_i), m_i + 1, m_i)
+    m_r = (m_r | (jnp.uint32(1) << (jnp.uint32(23) - rs_r))) >> 1
+    m_i = (m_i | (jnp.uint32(1) << (jnp.uint32(23) - rs_i))) >> 1
+    sat = jnp.uint32((1 << (m_bits - 1)) - 1)
+    over = e_s > 0xF
+    m_r = jnp.where(over, sat, m_r)
+    m_i = jnp.where(over, sat, m_i)
+    e_s = jnp.where(over, 0xF, e_s).astype(_U32)
+    mask = jnp.uint32((1 << m_bits) - 1)
+    header = (s_r << 7) | (s_i << 6) | (e_s & 0xF)
+    return header, m_r & mask, m_i & mask
+
+
+def decode_packed(header: jax.Array, mr: jax.Array, mi: jax.Array, e: int,
+                  total_bits: int = 40):
+    """Unpack W-bit SoA planes -> fp32 (re, im); inverse of encode_packed."""
+    if total_bits == 40:
+        return decode40(header, mr, mi, e)
+    m_bits = SUPPORTED_MANT_BITS[total_bits]
+    rs0 = 23 - m_bits
+    header = header.astype(_U32)
+    mask = jnp.uint32((1 << m_bits) - 1)
+    m_r = (mr.astype(_U32) & mask) << rs0
+    m_i = (mi.astype(_U32) & mask) << rs0
+    s_r = header >> 7
+    s_i = (header & 0x40) >> 6
+    e_s = (header & 0xF).astype(_I32)
+
+    def _norm(m, ex):
+        nz = m != 0
+        safe = jnp.where(nz, m, 1).astype(_I32)
+        idx = 31 - lax.clz(safe)
+        m2 = jnp.where(nz, m << (jnp.uint32(23) - idx.astype(_U32)), m)
+        ex2 = jnp.where(nz, ex - (22 - idx), 0)
+        return m2, ex2
+
+    e_base = e_s + jnp.int32(e)
+    m_r, e_r = _norm(m_r, e_base)
+    m_i, e_i = _norm(m_i, e_base)
+    bits_r = (s_r << 31) | (e_r.astype(_U32) << 23) | (m_r & 0x7FFFFF)
+    bits_i = (s_i << 31) | (e_i.astype(_U32) << 23) | (m_i & 0x7FFFFF)
+    return (
+        lax.bitcast_convert_type(bits_r, jnp.float32),
+        lax.bitcast_convert_type(bits_i, jnp.float32),
+    )
+
+
 def pack_words(header: jax.Array, mr: jax.Array, mi: jax.Array) -> jax.Array:
     """Pack the SoA planes into interleaved uint32 words whose bytes ARE the 5-byte wire format.
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -332,13 +332,18 @@ def _fast_project(series, be_re, be_im, o_size: int, precision):
 
 
 def encode_series_fast(series, basis: CompressionBasis, shifted=False, mode40=False,
-                       overlap=True, precision=lax.Precision.HIGHEST):
+                       overlap=True, precision=lax.Precision.HIGHEST,
+                       bits: Optional[int] = None):
     """Fast windowed-projection encoder (not bit-identical; fp32-accurate).
 
-    Float mode returns (re, im) [Nc, H, N]; 40-bit mode quantizes each completed frame once
-    (better quality than the reference's per-step RMW; different bits) and returns uint32 SoA
-    planes. No-overlap mode uses the single summed basis per frame.
+    Float mode returns (re, im) [Nc, H, N]; packed modes quantize each completed frame
+    once (better quality than the reference's per-step RMW; different bits) and return
+    uint32 SoA planes. ``bits`` selects the packed width (8/16/24/32/40,
+    bitpack.SUPPORTED_MANT_BITS; BASELINE config #3's mixed packing) — ``mode40`` is the
+    bits=40 shorthand. No-overlap mode uses the single summed basis per frame.
     """
+    if bits is None and mode40:
+        bits = 40
     series = jnp.asarray(series, jnp.float32)
     o = basis.o_size
     be_re, be_im, be1_re, be1_im = (jnp.asarray(a[:, : 2 * o].T) for a in basis.tables(shifted))
@@ -356,10 +361,10 @@ def encode_series_fast(series, basis: CompressionBasis, shifted=False, mode40=Fa
                           preferred_element_type=jnp.float32)
         f_im = jnp.einsum("kun,uh->khn", chunks, tab_im, precision=precision,
                           preferred_element_type=jnp.float32)
-    if not mode40:
+    if bits is None:
         return f_re, f_im
     e = MAX_EXP_U if shifted else MAX_EXP_P
-    return bitpack.encode40(f_re, f_im, e)
+    return bitpack.encode_packed(f_re, f_im, e, bits)
 
 
 # ---------------------------------------------------------------------------

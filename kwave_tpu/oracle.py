@@ -378,3 +378,57 @@ def reconstruct(
             ).astype(np.float32)
         out[t] = acc * scale
     return out
+
+
+# ---------------------------------------------------------------------------
+# Generalized W-bit wire format (BASELINE config #3; the reference only has 40-bit)
+# ---------------------------------------------------------------------------
+
+
+def pack_wire(header: np.ndarray, mr: np.ndarray, mi: np.ndarray,
+              total_bits: int) -> np.ndarray:
+    """SoA planes -> little-endian W-bit AoS byte stream.
+
+    40-bit keeps the reference's 5-byte layout (`soa_to_bytes`). Other widths use the
+    W-bit field (LSB first): e(4) | m_i(M) | m_r(M) | s_i(1) | s_r(1), serialized as
+    W/8 little-endian bytes per coefficient."""
+    if total_bits == 40:
+        return soa_to_bytes(header, mr, mi)
+    from kwave_tpu.bitpack import SUPPORTED_MANT_BITS
+
+    m = SUPPORTED_MANT_BITS[total_bits]
+    h = np.asarray(header, np.uint64).reshape(-1)
+    r = np.asarray(mr, np.uint64).reshape(-1)
+    i = np.asarray(mi, np.uint64).reshape(-1)
+    e = h & 0xF
+    s_i = (h >> np.uint64(6)) & np.uint64(1)
+    s_r = h >> np.uint64(7)
+    val = (e | (i << np.uint64(4)) | (r << np.uint64(4 + m))
+           | (s_i << np.uint64(4 + 2 * m)) | (s_r << np.uint64(5 + 2 * m)))
+    nbytes = total_bits // 8
+    out = np.empty((val.size, nbytes), np.uint8)
+    for b in range(nbytes):
+        out[:, b] = ((val >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+    return out.reshape(-1)
+
+
+def unpack_wire(raw: np.ndarray, total_bits: int):
+    """Inverse of `pack_wire`: byte stream -> (header, mr, mi) SoA planes."""
+    if total_bits == 40:
+        return bytes_to_soa(raw)
+    from kwave_tpu.bitpack import SUPPORTED_MANT_BITS
+
+    m = SUPPORTED_MANT_BITS[total_bits]
+    nbytes = total_bits // 8
+    raw = np.asarray(raw, np.uint8).reshape(-1, nbytes)
+    val = np.zeros(raw.shape[0], np.uint64)
+    for b in range(nbytes):
+        val |= raw[:, b].astype(np.uint64) << np.uint64(8 * b)
+    mask = np.uint64((1 << m) - 1)
+    e = (val & np.uint64(0xF)).astype(np.uint32)
+    mi = ((val >> np.uint64(4)) & mask).astype(np.uint32)
+    mr = ((val >> np.uint64(4 + m)) & mask).astype(np.uint32)
+    s_i = ((val >> np.uint64(4 + 2 * m)) & np.uint64(1)).astype(np.uint32)
+    s_r = ((val >> np.uint64(5 + 2 * m)) & np.uint64(1)).astype(np.uint32)
+    header = ((s_r << 7) | (s_i << 6) | e).astype(np.uint8)
+    return header, mr, mi
