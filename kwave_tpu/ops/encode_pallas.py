@@ -87,8 +87,11 @@ def _encode40_block(re, im, e: int):
 
 def _msb_index(m):
     """Index of the most-significant set bit of m (m < 2^24, m != 0) via exact
-    int->float32 conversion: exponent field = 127 + msb_index."""
-    f = m.astype(jnp.float32)
+    int->float32 conversion: exponent field = 127 + msb_index.
+
+    The conversion goes through int32 — values are < 2^24 so it is lossless, and
+    Mosaic's TPU lowering supports int32->float32 but not uint32->float32."""
+    f = m.astype(_I32).astype(jnp.float32)
     return ((lax.bitcast_convert_type(f, _U32) >> 23).astype(_I32) - 127)
 
 
@@ -130,13 +133,15 @@ def _float_kernel(chunk_ref, tab_lo_ref, tab_hi_ref, p1_prev_ref, frame_ref, p1_
                   first_window: bool):
     chunk = chunk_ref[:]  # [o, TN]
     # P[2H, TN] = tab^T . chunk — contraction over the o axis on the MXU
+    # HIGHEST precision: the MXU's default fp32 matmul path is bf16 passes — the
+    # interpret-mode (CPU) tests would hide the ~1e-3 relative error that introduces
     p1 = lax.dot_general(
         tab_lo_ref[:], chunk, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
     )
     p2 = lax.dot_general(
         tab_hi_ref[:], chunk, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
     )
     # frame = P1_prev + P2; first window uses its own P1 (mirror identity)
     prev = p1 if first_window else p1_prev_ref[:]

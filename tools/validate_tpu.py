@@ -76,6 +76,25 @@ def main():
     tiny = _series(basis.o_size - 3, 16, 20.0, seed=99)
     ok &= check("tiny record lastStep", tiny, basis)
     ok &= check("tiny record lastStep 40bit", tiny, basis, mode40=True)
+    # Pallas kernels with real Mosaic lowering (the CPU suite runs them in interpret
+    # mode, which has hidden TPU-only issues before: unsupported uint32->f32 casts and
+    # bf16 default-precision MXU matmuls)
+    if jax.default_backend() == "tpu":
+        import kwave_tpu.ops.encode_pallas as ep
+        import tests.test_pallas_ops as tp
+
+        saved = ep._interpret_default
+        ep._interpret_default = lambda: False
+        try:
+            tp.test_float_window_kernel_matches_fast_path()
+            tp.test_40b_window_kernel_bit_exact_vs_scan_encoder()
+            tp.test_40b_roundtrip_through_kernel_codec_helpers()
+            print("  pallas kernels (Mosaic lowering)                          BIT-EXACT")
+        except Exception as exc:  # noqa: BLE001
+            ok = False
+            print("  pallas kernels (Mosaic lowering)  FAIL:", str(exc)[:120])
+        finally:
+            ep._interpret_default = saved
     print("RESULT:", "PASS — TPU path is bit-exact vs reference oracle" if ok else "FAIL")
     return 0 if ok else 1
 
