@@ -409,6 +409,26 @@ def run_simulation(
         timers.restore_cumulated(read_cumulated_times(f))
     window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
                             ops=ops, src=src, mask=mask, fft=fft)
+    # simulation header (the reference's verbose run summary, printed by Logger at the
+    # Advanced level — OutputMessages simulation-detail block)
+    Logger.log(Logger.ADVANCED, "Simulation: %dD grid %dx%dx%d, nt=%d, dt=%.3e",
+               grid.dim, grid.nx, grid.ny, grid.nz, grid.nt, grid.dt)
+    Logger.log(Logger.ADVANCED,
+               "  medium: %s, %s | sources: p0=%s p=%d u=%d transducer=%d",
+               "nonlinear" if cfg.nonlinear else "linear",
+               "absorbing" if cfg.absorbing else "lossless",
+               cfg.p0_source_flag, cfg.p_source_flag, cfg.u_source_flag,
+               cfg.transducer_source_flag)
+    Logger.log(Logger.ADVANCED, "  sensors: %d (%s mask) | streams: %s",
+               n_sensors, "cuboid" if cuboid_shapes is not None else "index",
+               ", ".join(s.name + ("" if s.save else " (hidden)") for s in specs))
+    if basis is not None:
+        Logger.log(Logger.ADVANCED,
+                   "  compression: period=%.4g mos=%d harmonics=%d oSize=%d mode40=%s",
+                   basis.period, basis.mos, basis.harmonics, basis.o_size, run.mode40)
+    if mesh is not None:
+        Logger.log(Logger.ADVANCED, "  mesh: %d devices (%s)",
+                   mesh.devices.size, ",".join(map(str, mesh.axis_names)))
     timers.stop("preprocessing")
     timers.start("simulation")
     wall0 = _time.time()

@@ -1,0 +1,70 @@
+"""Two-process jax.distributed test: the multi-host gather path on one machine.
+
+The reference is strictly single-process; this validates the SURVEY §2.9 multi-host
+equivalents — distributed init, a global mesh over two processes' devices, sensor-sharded
+encode, and the index-ordered cross-process gather (process_allgather / DCN path) — against
+the single-process result.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_encode_gather(tmp_path):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "mp_worker.py")
+    port = _free_port()
+    out = str(tmp_path / "rank0.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(r), "2", str(port), out],
+            env=env, cwd=root, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            so, se = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append((p.returncode, so, se))
+    for rc, so, se in outs:
+        assert rc == 0, (so[-500:], se[-2000:])
+    assert os.path.exists(out)
+
+    # single-process reference over the same series
+    import jax
+
+    from kwave_tpu import encoder
+    from kwave_tpu.basis import generate_basis
+
+    cb = generate_basis(20.0, 1, 2, normalize=True)
+    n_global = 4  # 2 processes x 2 virtual devices
+    t_steps, n_sensors = 200, 64 * n_global
+    t = np.arange(t_steps, dtype=np.float32)[:, None]
+    phase = np.linspace(0, 2 * np.pi, n_sensors, dtype=np.float32)[None, :]
+    x = (1e5 * np.sin(2 * np.pi * t / 20.0 + phase)).astype(np.float32)
+    f_re, f_im = encoder.encode_series_fast(jax.numpy.asarray(x), cb)
+
+    got = np.load(out)
+    np.testing.assert_allclose(got["re"], np.asarray(f_re), rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(got["im"], np.asarray(f_im), rtol=1e-5, atol=1e-2)
