@@ -72,18 +72,19 @@ def reconstruct(
     n_c = f_re.shape[0]
     o = o_size
     k_max = (n_steps + o - 1) // o
-    # Contribution of frame k at offsets r+o (late half) and of frame k+1 at offsets r (early).
-    late = jnp.einsum("khn,rh->krn", f_re, be_re[o:]) + jnp.einsum(
-        "khn,rh->krn", f_im, be_im[o:]
-    )
-    early = jnp.einsum("khn,rh->krn", f_re, be_re[:o]) + jnp.einsum(
-        "khn,rh->krn", f_im, be_im[:o]
-    )
-    # x[k, r] = late[k, r] + early[k+1, r]; pad the frame axis to k_max.
+    # x[k*o + r] = late[k, r] + early[k+1, r]. The coefficient frames are ~oSize x smaller
+    # than the synthesized series, so pair frame k with frame k+1 on the (cheap) coefficient
+    # side first, then run ONE contraction that writes the big output exactly once:
+    #   x[k, r] = sum_m g[k, m] * tab[r, m],  m = (late/early) x (re/im) x harmonic.
     pad_to = max(k_max, n_c) + 1
-    late_p = jnp.pad(late, ((0, pad_to - n_c), (0, 0), (0, 0)))
-    early_p = jnp.pad(early, ((0, pad_to - n_c), (0, 0), (0, 0)))
-    x = late_p[:k_max] + early_p[1 : k_max + 1]
+    f_re_p = jnp.pad(f_re, ((0, pad_to - n_c), (0, 0), (0, 0)))
+    f_im_p = jnp.pad(f_im, ((0, pad_to - n_c), (0, 0), (0, 0)))
+    g = jnp.concatenate(
+        [f_re_p[:k_max], f_im_p[:k_max], f_re_p[1 : k_max + 1], f_im_p[1 : k_max + 1]],
+        axis=1,
+    )  # [k_max, 4H, N]
+    tab = jnp.concatenate([be_re[o:], be_im[o:], be_re[:o], be_im[:o]], axis=1)  # [o, 4H]
+    x = jnp.einsum("khn,rh->krn", g, tab)
     x = x.reshape(k_max * o, -1)[:n_steps]
     scale = jnp.float32(o / 2.0) if normalized else jnp.float32(1.0)
     return x * scale

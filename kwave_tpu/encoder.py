@@ -315,16 +315,16 @@ def _fast_project(series, be_re, be_im, o_size: int, precision):
     t_total, n = series.shape
     n_frames = t_total // o_size
     chunks = series[: n_frames * o_size].reshape(n_frames, o_size, n)
-    # P1[k] = chunks[k]^T . bE[:o],  P2[k] = chunks[k]^T . bE[o:]  -> [K, H, N]
+    # Both window halves and both complex parts in ONE contraction so the big input
+    # (the sample chunks) is read from HBM exactly once:
+    #   P[k, w, z, h] = chunks[k]^T . bE[w-th half, h, z-th part]
     tab = jnp.stack([be_re, be_im], axis=-1)  # [2o, H, 2]
-    p_a = jnp.einsum(
-        "kun,uhz->kzhn", chunks, tab[:o_size], precision=precision,
+    tab4 = jnp.stack([tab[:o_size], tab[o_size:]], axis=-1)  # [o, H, 2(z), 2(half)]
+    p = jnp.einsum(
+        "kun,uhzw->kwzhn", chunks, tab4, precision=precision,
         preferred_element_type=jnp.float32,
     )
-    p_b = jnp.einsum(
-        "kun,uhz->kzhn", chunks, tab[o_size:], precision=precision,
-        preferred_element_type=jnp.float32,
-    )
+    p_a, p_b = p[:, 0], p[:, 1]  # first-half / second-half projections, each [K, 2, H, N]
     # frame[0] = P1[0] + P2[0] (mirror identity); frame[c>=1] = P1[c-1] + P2[c].
     p_a_shift = jnp.concatenate([p_a[:1], p_a[:-1]], axis=0)
     frames = p_a_shift + p_b
