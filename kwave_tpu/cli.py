@@ -59,6 +59,7 @@ def main(argv=None) -> int:
         data.grid = dataclasses.replace(data.grid, nt=min(args.benchmark, data.grid.nt))
     run = args_to_run_config(args, dt=data.grid.dt)
     load_s = time.time() - t0
+    run.data_load_seconds = load_s  # feeds the data_load phase timer / output attr
 
     if not any(run.flags.values()) and not (
         args.I_avg or args.I_avg_c or args.Q_term or args.Q_term_c

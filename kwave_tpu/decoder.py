@@ -84,7 +84,10 @@ def reconstruct(
         axis=1,
     )  # [k_max, 4H, N]
     tab = jnp.concatenate([be_re[o:], be_im[o:], be_re[:o], be_im[:o]], axis=1)  # [o, 4H]
-    x = jnp.einsum("khn,rh->krn", g, tab)
+    # HIGHEST precision with fp32 accumulation: the MXU's default fp32 matmul is bf16
+    # passes (~1e-3 rel error) — enough to fail the round-trip acceptance gate
+    x = jnp.einsum("khn,rh->krn", g, tab, precision=lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
     x = x.reshape(k_max * o, -1)[:n_steps]
     scale = jnp.float32(o / 2.0) if normalized else jnp.float32(1.0)
     return x * scale

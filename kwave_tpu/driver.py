@@ -54,6 +54,7 @@ class RunConfig:
     q_term: bool = False  # --Q_term
     q_term_c: bool = False  # --Q_term_c
     mode40: bool = False
+    no_overlap: bool = False  # --no_overlap (also auto-forced for short records)
     period: Optional[float] = None  # None -> auto-detect from p_source_input
     mos: int = 1
     harmonics: int = 1
@@ -64,6 +65,8 @@ class RunConfig:
     checkpoint_interval_seconds: Optional[float] = None
     block_size: Optional[int] = None  # --block_size: post-processing I/O block (elements)
     progress_interval: int = 5  # -r flag: progress print interval in percent
+    benchmark_steps: Optional[int] = None  # --benchmark: Nt truncation, recorded in attrs
+    data_load_seconds: float = 0.0  # input-file read time measured by the CLI
 
 
 def detect_period(data: InputData, run: RunConfig) -> Optional[float]:
@@ -111,6 +114,8 @@ def make_window_fn(
     src=None,
     mask=None,
     fft=None,
+    n_steps: Optional[int] = None,
+    emit: bool = True,
 ):
     """Jitted window program: (sim_state, stream_states, t0[, ops, src, mask]) ->
     (sim_state, stream_states, emissions). Runs o_size solver steps, gathers every wanted
@@ -122,7 +127,11 @@ def make_window_fn(
     would inline them into the HLO — hundreds of MB at 256^3, rejected by the remote
     compiler. See make_simulate_fn.) The explicit argument-passing form (all three
     None) remains for sharded multi-chip callers that device_put operators with their
-    own shardings."""
+    own shardings.
+
+    ``n_steps``/``emit`` build the trailing-partial-window program: fewer than oSize
+    steps, compressed streams accumulate without emitting (streams.process_chunk)."""
+    steps = o_size if n_steps is None else n_steps
     wanted = streams_mod.needed_sources(specs)
     whole_domain = [s for s in specs if s.op in ("max_all", "min_all")]
     closed = ops is not None
@@ -150,7 +159,7 @@ def make_window_fn(
     def window_impl(sim_state, stream_states, t0, ops, src, mask):
         wd0 = {s.name: stream_states[s.name] for s in whole_domain}
         if strategy == "carry":
-            bufs = {w: jnp.zeros((o_size, n_sensors), jnp.float32) for w in wanted}
+            bufs = {w: jnp.zeros((steps, n_sensors), jnp.float32) for w in wanted}
 
             def body(carry, i):
                 st, bufs, wd = carry
@@ -163,7 +172,7 @@ def make_window_fn(
                 return (st, bufs, _fold_wd(wd, st)), None
 
             (sim2, chunks, wd), _ = lax.scan(
-                body, (sim_state, bufs, wd0), jnp.arange(o_size)
+                body, (sim_state, bufs, wd0), jnp.arange(steps)
             )
         else:
 
@@ -172,10 +181,12 @@ def make_window_fn(
                 st = step(st, t0 + i, ops, src, cfg, fft)
                 return (st, _fold_wd(wd, st)), _gather_sources(st, ops, mask, wanted)
 
-            (sim2, wd), chunks = lax.scan(body, (sim_state, wd0), jnp.arange(o_size))
+            (sim2, wd), chunks = lax.scan(body, (sim_state, wd0), jnp.arange(steps))
 
         pre = dict(stream_states, **wd)
-        new_states, emissions = streams_mod.process_chunk(pre, chunks, {}, specs, basis)
+        new_states, emissions = streams_mod.process_chunk(
+            pre, chunks, {}, specs, basis, emit=emit
+        )
         return sim2, new_states, emissions
 
     # donate the carried simulation fields (callers always rebind the returned state;
@@ -220,6 +231,7 @@ def run_simulation(
 
     timers = PhaseTimers()
     timers.start("total")
+    timers.set_elapsed("data_load", run.data_load_seconds)
     timers.start("preprocessing")
 
     grid, medium = data.grid, data.medium
@@ -266,6 +278,16 @@ def run_simulation(
             raise ValueError("compressed streams need --period/--frequency or a source "
                              "signal for auto-detection")
         basis = generate_basis(period, run.mos, run.harmonics, normalize=True)
+        # Too few sampled steps for overlapped compression -> auto-force no-overlap
+        # (Parameters::init, Parameters.cpp:141-145: period >= Nt - samplingStart).
+        overlap = not run.no_overlap
+        if period >= grid.nt - run.sampling_start:
+            overlap = False
+        if not overlap:
+            specs = [
+                dataclasses.replace(s, overlap=False) if s.op == "c" else s
+                for s in specs
+            ]
 
     need_additive = (data.p_source_mode == 2 and data.p_source_flag) or (
         data.u_source_mode == 2 and data.u_source_flag_any()
@@ -360,6 +382,22 @@ def run_simulation(
     ck = None
     if resume_from is not None:
         ck = ckpt_io.read_checkpoint(resume_from)
+        # Recovery validation (the reference checks checkpoint dims against the input
+        # grid on restore, KSpaceFirstOrderSolver::loadInputData,
+        # KSpaceFirstOrderSolver.cpp:189-228) — a stale checkpoint from another run
+        # would otherwise silently corrupt the output.
+        ck_dims = tuple(int(v) for v in ck["grid_shape"])
+        if ck_dims != (grid.nx, grid.ny, grid.nz):
+            raise ValueError(
+                f"checkpoint file {resume_from!r} was written for grid "
+                f"{ck_dims} (nx, ny, nz) but the input file has "
+                f"({grid.nx}, {grid.ny}, {grid.nz})"
+            )
+        if not (0 <= int(ck["t_index"]) <= grid.nt):
+            raise ValueError(
+                f"checkpoint t_index {ck['t_index']} outside the input's "
+                f"0..nt={grid.nt} range"
+            )
         t0 = ck["t_index"]
         shp = grid.shape
         fd = ck["fields"]
@@ -388,10 +426,27 @@ def run_simulation(
 
         sampled_done = max(t0 - run.sampling_start, 0)
         f = h5py.File(output_path, "r+")
+        # the output file must belong to the same (interrupted) run: its raw datasets
+        # are sized for the full record and must cover the rows already produced
+        # (reference recovery consistency, KSpaceFirstOrderSolver.cpp:189-228)
+        for s in specs:
+            if s.op == "raw" and s.save and cuboid_shapes is None:
+                if s.name not in f:
+                    raise ValueError(
+                        f"output file {output_path!r} lacks dataset {s.name!r} "
+                        "expected by the checkpointed run"
+                    )
+                rows_total = f[s.name].shape[1]
+                if rows_total != sampled_steps or sampled_done > rows_total:
+                    raise ValueError(
+                        f"output dataset {s.name!r} has {rows_total} rows but the "
+                        f"checkpoint expects {sampled_steps} total "
+                        f"({sampled_done} done) — output/checkpoint mismatch"
+                    )
         writer = StreamWriter(
             f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
             run.compression_level, reopen=True, rows_done=sampled_done,
-            cuboid_shapes=cuboid_shapes,
+            cuboid_shapes=cuboid_shapes, field_shape=grid.shape,
         )
         stream_states = streams_mod.restore_stream_states(
             stream_states, ck["stream_coeffs"], specs, sampled_done, o
@@ -403,7 +458,7 @@ def run_simulation(
         f = create_output_file(output_path)
         writer = StreamWriter(
             f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
-            run.compression_level, cuboid_shapes=cuboid_shapes,
+            run.compression_level, cuboid_shapes=cuboid_shapes, field_shape=grid.shape,
         )
     if ck is not None:
         timers.restore_cumulated(read_cumulated_times(f))
@@ -508,23 +563,41 @@ def run_simulation(
         write_run_info(f, timers, file_path=output_path)  # cumulated times for next leg
         f.close()
         return summary
-    # trailing steps (< one window): advance state; raw rows still stored
+    # trailing steps (< one window): every sampled step still feeds raw rows, aggregate
+    # folds, and compressed accumulators (the reference's sample+accumulate runs each
+    # step, IndexOutputStream.cpp:397-450); compressed frames are not emitted here
     rem = grid.nt - t
     if rem > 0:
-        from kwave_tpu.solver import make_simulate_fn
-
-        raw_specs = [s for s in specs if s.op == "raw"]
-        wanted = streams_mod.needed_sources(raw_specs)
-        tail_fn = make_simulate_fn(
-            ops, src, cfg, rem,
-            sample_fn=(lambda s: _gather_sources(s, ops, mask, wanted)) if wanted else None,
-            fft=fft or LOCAL_FFT,
-        )
+        tail_fn = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
+                                 ops=ops, src=src, mask=mask, fft=fft,
+                                 n_steps=rem, emit=False)
         with mesh_ctx():
-            sim_state, tail = tail_fn(sim_state, jnp.int32(t))
-        if wanted:
-            writer.flush_emissions({s.name: np.asarray(tail[s.source]) for s in raw_specs})
+            sim_state, stream_states, tail_emissions = tail_fn(
+                sim_state, stream_states, jnp.int32(t)
+            )
+        writer.flush_emissions(tail_emissions)  # raw rows; `c` entries are None
         t += rem
+
+    # tiny-record lastStep rule (IndexOutputStream.cpp:455-456): when the whole sampled
+    # record fits inside one overlap window (steps <= oSize), force-emit the partial
+    # frame so the Nc=1 compressed dataset is not left empty; the emitted frame also
+    # feeds the coefficient-space intensity accumulators (postSample, :313-337)
+    if basis is not None and 0 < sampled_steps <= o:
+        from kwave_tpu import encoder as encoder_mod
+
+        partial = {}
+        for s in specs:
+            if s.op != "c":
+                continue
+            ecfg = encoder_mod.EncoderConfig.for_stream(
+                basis, s.shifted_basis, s.mode40, s.overlap
+            )
+            stream_states[s.name], frame = encoder_mod.emit_partial(
+                stream_states[s.name], ecfg
+            )
+            partial[s.name] = frame
+        streams_mod.accumulate_iavg_from_frames(stream_states, partial, specs)
+        writer.flush_emissions(partial)
 
     timers.stop("simulation")
     timers.start("postprocessing")
@@ -539,11 +612,16 @@ def run_simulation(
     writer.flush_final_fields(finals)
 
     if run.checkpoint_file is not None:
+        # end-of-run checkpoint carries the stream coefficient accumulators too — the
+        # reference persists them on every checkpoint (BaseOutputStream.cpp:551-606)
         ckpt_io.write_checkpoint(
             run.checkpoint_file,
             jax.tree_util.tree_map(np.asarray, sim_state),
             t,
             (grid.nx, grid.ny, grid.nz),
+            stream_coeffs=streams_mod.stream_states_to_checkpoint(
+                stream_states, specs, n_sensors
+            ),
         )
 
     summary = {
@@ -575,6 +653,12 @@ def run_simulation(
 
     with h5py.File(output_path, "r+") as fo:
         write_run_info(fo, timers, file_path=output_path)
+        if run.benchmark_steps is not None:
+            # record the --benchmark Nt truncation so the output is not mistaken for a
+            # full run (the reference prints it; we persist it with the timing attrs)
+            from kwave_tpu.io.hdf5 import write_attr
+
+            write_attr(fo, "benchmark_time_steps", int(run.benchmark_steps))
     return summary
 
 

@@ -236,6 +236,28 @@ def encode_chunks(state, chunks, cfg: EncoderConfig, tables):
     return lax.scan(step, state, chunks)
 
 
+def accumulate_chunk(state, x_chunk, cfg: EncoderConfig, tables):
+    """Accumulate a partial trailing window (x_chunk shorter than oSize) with NO emission.
+
+    The reference runs the correlation step on every sampled timestep
+    (IndexOutputStream.cpp:397-450); trailing steps of a record not divisible by oSize
+    accumulate into the live buffers and are only flushed by the next saving boundary
+    (which never comes) or the tiny-record lastStep rule (:455-456, see `emit_partial`).
+    Requires that no saving boundary falls inside the chunk (true for window-aligned
+    tails: state.sampled_step % oSize == 0 and len(x_chunk) < oSize).
+    """
+    o = cfg.o_size
+    no_mirror = jnp.asarray(False)
+
+    def body(i, st):
+        sl = st["sampled_step"] % (2 * o)
+        st2 = _mac_step(st, x_chunk[i], sl, cfg, tables, no_mirror)
+        st2["sampled_step"] = st["sampled_step"] + 1
+        return st2
+
+    return lax.fori_loop(0, x_chunk.shape[0], body, state)
+
+
 def encode_steps(state, x_steps, cfg: EncoderConfig, tables):
     """Process ``x_steps[S, N]`` one step at a time (S static, unrolled; S < 2*oSize).
 
@@ -280,16 +302,14 @@ def encode_series_exact(series, basis: CompressionBasis, shifted=False, mode40=F
     total = total_steps if total_steps is not None else t_total
 
     if total <= o:
-        # Tiny record: accumulate everything, then the lastStep flush emits one partial frame.
-        for s in range(t_total):
-            sl = s % (2 * o)
-            saving = (sl + 1) % o == 0
-            mirror = (state["compressed_step"] == 0) & saving & overlap
-            state = _mac_step(state, series[s], sl, cfg, tables, jnp.asarray(mirror))
-            state["sampled_step"] = state["sampled_step"] + 1
-            if saving:
-                state, frame = _emit(state, cfg)
-                return tuple(f[None] for f in frame), state
+        # Tiny record: accumulate everything, then the lastStep flush emits one partial
+        # frame (IndexOutputStream.cpp:455-456). Built from the same fori_loop blocks as
+        # the production driver so the two agree bit-for-bit on every backend (XLA:CPU
+        # FMA-contracts loop bodies; XLA:TPU contracts nothing — see tools/validate_tpu).
+        if t_total >= o:  # record is exactly one window: the saving boundary emits
+            state, frame = encode_chunk(state, series[:o], cfg, tables)
+            return tuple(f[None] for f in frame), state
+        state = accumulate_chunk(state, series, cfg, tables)
         state, frame = _emit(state, cfg)
         return tuple(f[None] for f in frame), state
 
@@ -300,8 +320,7 @@ def encode_series_exact(series, basis: CompressionBasis, shifted=False, mode40=F
     # frame only at the next saving boundary).
     rem = t_total - n_chunks * o
     if rem:
-        state, extra = encode_steps(state, series[n_chunks * o :], cfg, tables)
-        assert not extra
+        state = accumulate_chunk(state, series[n_chunks * o :], cfg, tables)
     return frames, state
 
 

@@ -105,9 +105,20 @@ def create_compressed_dataset(
 
 
 def create_aggregate_dataset(f, name: str, n_points: int, compression_level: int = 0):
-    """rms/max/min/_final/_all buffers: (1, 1, n) (or the field shape for _all variants,
-    WholeDomainOutputStream)."""
+    """Per-sensor rms/max/min buffers: (1, 1, n) (IndexOutputStream aggregate datasets)."""
     return create_dataset(f, name, (1, 1, n_points), chunks=_row_chunk(n_points),
+                          compression_level=compression_level)
+
+
+def create_field_dataset(
+    f, name: str, field_shape: tuple[int, ...], compression_level: int = 0
+):
+    """Whole-domain dataset (`*_max_all`/`*_min_all`/`*_final`): full source-matrix dims
+    (nz, ny, nx) with one-z-slab chunks (nx, ny, 1) in reference DimensionSizes order
+    (WholeDomainOutputStream::create, OutputStreams/WholeDomainOutputStream.cpp:78-99;
+    HDF5 dims are reversed to (nz, ny, nx), Hdf5File.cpp:321-323)."""
+    shape = (1,) * (3 - len(field_shape)) + tuple(field_shape)  # 2D fields get nz=1
+    return create_dataset(f, name, shape, chunks=(1,) + shape[1:],
                           compression_level=compression_level)
 
 

@@ -101,6 +101,7 @@ def args_to_run_config(args, dt: Optional[float] = None) -> RunConfig:
         q_term=args.Q_term,
         q_term_c=args.Q_term_c,
         mode40=args.bit40,
+        no_overlap=args.no_overlap,
         period=period,
         mos=args.mos,
         harmonics=args.harmonics,
@@ -111,4 +112,5 @@ def args_to_run_config(args, dt: Optional[float] = None) -> RunConfig:
         checkpoint_interval_seconds=args.checkpoint_interval,
         block_size=args.block_size,
         progress_interval=args.progress_interval,
+        benchmark_steps=args.benchmark,
     )

@@ -170,6 +170,25 @@ def q_term_from_intensity(
 # ---------------------------------------------------------------------------
 
 
+def _auto_block_size() -> int:
+    """I/O block size (float elements) from available host memory when --block_size is
+    absent — the reference sizes its post-processing blocks from free host/device memory
+    (KSpaceFirstOrderSolver::computeAverageIntensities, KSpaceFirstOrderSolver.cpp:
+    1283-1307). Budget: 1/8 of MemAvailable, capped at 2 GB, floor 8M elements (32 MB) —
+    the working set holds a handful of same-sized blocks (p + u + fft temps)."""
+    avail_bytes = 2 << 30
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_bytes = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    budget = min(avail_bytes // 8, 2 << 30)
+    return max(budget // 4, 8 << 20)
+
+
 def post_process_output_file(
     output_path: str,
     grid,
@@ -189,10 +208,14 @@ def post_process_output_file(
 
     `block_size` bounds the I/O working set, as the reference's --block_size flag
     (CommandLineParameters) and auto-sizing (:1283-1307): it is the maximum number of
-    float elements read per hyperslab block. Raw mode blocks over sensor points (the
+    float elements read per hyperslab block; when None it is derived from available
+    host memory (`_auto_block_size`). Raw mode blocks over sensor points (the
     half-step time shift needs the full time axis per point); coefficient mode blocks
     over compressed frames (the intensity is a running mean over frames)."""
     import h5py
+
+    if block_size is None:
+        block_size = _auto_block_size()
 
     from kwave_tpu.io.hdf5 import create_dataset
     from kwave_tpu.io import names as dn

@@ -38,6 +38,7 @@ from kwave_tpu.io.output_file import (
     create_aggregate_dataset,
     create_compressed_dataset,
     create_cuboid_group,
+    create_field_dataset,
     create_raw_dataset,
 )
 
@@ -65,6 +66,9 @@ class StreamSpec:
     op: str
     mode40: bool = False
     shifted_basis: bool = False  # velocity non-staggered streams use shifted tables
+    # --no_overlap: single aliased accumulator (BaseOutputStream.cpp:246-257); also
+    # auto-forced when the record is shorter than one period (Parameters.cpp:141-145)
+    overlap: bool = True
     # doNotSave: stream runs (samples/encodes/accumulates) but writes no dataset — the
     # reference's hidden dependency streams for I_avg_c/Q_term_c
     # (OutputStreamContainer.cpp:269-325)
@@ -170,7 +174,9 @@ def init_stream_states(
     states: dict[str, Any] = {}
     for s in specs:
         if s.op == "c":
-            cfg = encoder.EncoderConfig.for_stream(basis, s.shifted_basis, s.mode40)
+            cfg = encoder.EncoderConfig.for_stream(
+                basis, s.shifted_basis, s.mode40, s.overlap
+            )
             states[s.name] = encoder.init_state(cfg, n_sensors)
         elif s.op in ("rms", "max", "min"):
             states[s.name] = sampling.init_reduce_buffer(s.op, n_sensors)
@@ -198,23 +204,39 @@ def process_chunk(
     fields: dict[str, jax.Array],  # source -> final field of the window (flat) for _all ops
     specs: list[StreamSpec],
     basis: Optional[CompressionBasis],
+    emit: bool = True,
 ) -> tuple[dict[str, Any], dict[str, Any]]:
     """Advance all streams by one aligned oSize window. Returns (states, emissions):
     emissions[name] = raw rows [o, N] | coefficient frame (re, im)/(hdr, mr, mi) | None.
 
     Aggregate folds consume the whole chunk at once (the reference folds per step,
-    OutputStreamsCudaKernels.cu:83-107 — associative, so window-batched here)."""
+    OutputStreamsCudaKernels.cu:83-107 — associative, so window-batched here).
+
+    ``emit=False`` processes a partial trailing window (< oSize rows): compressed streams
+    accumulate without emitting a frame (the reference accumulates every sampled step and
+    flushes only at saving boundaries, IndexOutputStream.cpp:397-456), and the iavg_c
+    pass is skipped (postSample fires per completed frame only)."""
     out: dict[str, Any] = {}
     new_states = dict(states)
     for s in specs:
         if s.op == "raw":
             out[s.name] = chunks[s.source]
         elif s.op == "c":
-            cfg = encoder.EncoderConfig.for_stream(basis, s.shifted_basis, s.mode40)
+            cfg = encoder.EncoderConfig.for_stream(
+                basis, s.shifted_basis, s.mode40, s.overlap
+            )
             tables = encoder.make_tables(basis, s.shifted_basis)
-            st, frame = encoder.encode_chunk(states[s.name], chunks[s.source], cfg, tables)
+            if emit:
+                st, frame = encoder.encode_chunk(
+                    states[s.name], chunks[s.source], cfg, tables
+                )
+                out[s.name] = frame
+            else:
+                st = encoder.accumulate_chunk(
+                    states[s.name], chunks[s.source], cfg, tables
+                )
+                out[s.name] = None
             new_states[s.name] = st
-            out[s.name] = frame
         elif s.op == "rms":
             x = chunks[s.source]
             new_states[s.name] = states[s.name] + jnp.sum(x * x, axis=0)
@@ -238,12 +260,24 @@ def process_chunk(
     # second pass: coefficient-space intensity accumulation consumes the frames the `c`
     # streams just emitted (one per window) — IndexOutputStream::postSample semantics,
     # IndexOutputStream.cpp:299-342 (incl. the 40-bit decode of the packed partners)
+    if emit:
+        accumulate_iavg_from_frames(new_states, out, specs)
+    return new_states, out
+
+
+def accumulate_iavg_from_frames(
+    states: dict[str, Any], frames: dict[str, Any], specs: list[StreamSpec]
+) -> None:
+    """One postSample pass (IndexOutputStream.cpp:299-342): every iavg_c stream consumes
+    the just-completed coefficient frames of its p/u partner streams. Mutates `states`
+    in place. Fires once per completed frame, including the tiny-record lastStep partial
+    frame (postSample runs whenever getCurrentStoreBuffer() is set, :313)."""
     for s in specs:
         if s.op != "iavg_c":
             continue
         axis = s.name[1]  # "Ix_avg_c" -> "x"
-        pf = out["p" + dn.COMPRESS_SUFFIX]
-        uf = out[f"u{axis}_non_staggered" + dn.COMPRESS_SUFFIX]
+        pf = frames["p" + dn.COMPRESS_SUFFIX]
+        uf = frames[f"u{axis}_non_staggered" + dn.COMPRESS_SUFFIX]
         if s.mode40:
             from kwave_tpu import bitpack
 
@@ -254,8 +288,7 @@ def process_chunk(
             u_re, u_im = uf
         from kwave_tpu.decoder import avg_intensity_update
 
-        new_states[s.name] = avg_intensity_update(states[s.name], p_re, p_im, u_re, u_im)
-    return new_states, out
+        states[s.name] = avg_intensity_update(states[s.name], p_re, p_im, u_re, u_im)
 
 
 def finalize_aggregates(
@@ -423,6 +456,7 @@ class StreamWriter:
         reopen: bool = False,
         rows_done: int = 0,
         cuboid_shapes: Optional[list[tuple[int, int, int]]] = None,
+        field_shape: Optional[tuple[int, ...]] = None,
     ):
         """`reopen` attaches to the existing datasets of a checkpointed run and seeks each
         stream to its resume position (IndexOutputStream::reopen,
@@ -439,6 +473,7 @@ class StreamWriter:
         self.basis = basis
         self.sampled_steps = sampled_steps
         self.cuboid_shapes = cuboid_shapes
+        self.field_shape = field_shape
         o = basis.o_size if basis is not None else 1
         self.rows = {
             s.name: (rows_done if s.op == "raw" else rows_done // o) if reopen else 0
@@ -487,8 +522,14 @@ class StreamWriter:
                         h5file, s.name, n_sensors, compression_level
                     )
             elif s.op in ("max_all", "min_all", "final"):
-                self.datasets[s.name] = create_aggregate_dataset(
-                    h5file, s.name, n_grid, compression_level
+                # whole-domain streams keep the full source-matrix dims in the file
+                # (WholeDomainOutputStream.cpp:78-99; format table main.cpp:648-650)
+                if field_shape is None:
+                    raise ValueError(
+                        f"stream {s.name!r} needs the grid field shape for its dataset"
+                    )
+                self.datasets[s.name] = create_field_dataset(
+                    h5file, s.name, field_shape, compression_level
                 )
 
     def _write_cuboid_rows(self, grp, spec, rows: np.ndarray, row0: int, values_per_pt):

@@ -75,6 +75,11 @@ class PhaseTimers:
         self._elapsed[phase] += dt
         return dt
 
+    def set_elapsed(self, phase: str, seconds: float) -> None:
+        """Record a phase measured externally (e.g. data_load timed by the CLI before
+        the driver's timer set exists)."""
+        self._elapsed[phase] = float(seconds)
+
     def elapsed(self, phase: str) -> float:
         return self._elapsed[phase]
 

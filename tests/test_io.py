@@ -200,3 +200,47 @@ def test_run_info_attributes(tmp_path):
                      "number_of_cpu_cores"):
             assert attr in f.attrs, attr
         assert f.attrs["total_execution_time"] > 0
+
+
+def test_whole_domain_and_final_dataset_shapes(tmp_path):
+    """_all/_final datasets keep the full source-matrix dims (nz, ny, nx) with one-z-slab
+    chunks — WholeDomainOutputStream::create (WholeDomainOutputStream.cpp:78-99; HDF5 dim
+    reversal Hdf5File.cpp:321-323; format table main.cpp:648-650)."""
+    from kwave_tpu.io.output_file import create_field_dataset
+
+    f = create_output_file(str(tmp_path / "o.h5"))
+    ds3 = create_field_dataset(f, "p_max_all", (8, 12, 16))
+    assert ds3.shape == (8, 12, 16)
+    assert ds3.chunks == (1, 12, 16)
+    ds2 = create_field_dataset(f, "p_final", (12, 16))  # 2D field -> nz = 1
+    assert ds2.shape == (1, 12, 16)
+    assert ds2.chunks == (1, 12, 16)
+    f.close()
+
+
+def test_driver_writes_field_shaped_all_and_final(tmp_path):
+    """End-to-end: the driver's _max_all/_final outputs land as full-field datasets."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from kwave_tpu.driver import RunConfig, run_simulation
+
+    grid = Grid(nx=16, ny=12, nz=8, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=20)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[4, 6, 8] = 1e5
+    mask = np.sort(np.random.default_rng(0).choice(grid.n_elements, 16, replace=False))
+    data = InputData(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(2, 2, 2), pml_alpha=(2.0,) * 3,
+        sensor_mask_index=mask, p0=p0,
+    )
+    out = str(tmp_path / "o.h5")
+    run_simulation(
+        data, RunConfig(flags=dict(p_max_all=True, p_min_all=True, p_final=True,
+                                   u_final=True)), out
+    )
+    with h5py.File(out, "r") as f:
+        for name in ("p_max_all", "p_min_all", "p_final", "ux_final"):
+            assert f[name].shape == (8, 12, 16), name
+            assert f[name].chunks == (1, 12, 16), name
+        # the final snapshot equals... p_max_all >= p_final everywhere
+        assert (np.asarray(f["p_max_all"]) >= np.asarray(f["p_final"])).all()
