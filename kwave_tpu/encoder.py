@@ -205,13 +205,61 @@ def _emit(state, cfg: EncoderConfig):
     return out, frame
 
 
+# None = auto (Pallas fused window kernels on TPU, lax.fori_loop elsewhere);
+# True/False force one path (tests / on-chip validation).
+USE_PALLAS: Optional[bool] = None
+
+
+def _use_pallas() -> bool:
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    return jax.default_backend() == "tpu"
+
+
+def _stacked_tables(tables) -> jax.Array:
+    """[2o, 4H] = [bE_re | bE_im | bE1_re | bE1_im] columns (the Pallas kernels' layout)."""
+    return jnp.concatenate(
+        [tables["be_re"], tables["be_im"], tables["be1_re"], tables["be1_im"]], axis=1
+    )
+
+
+def _encode_chunk_pallas(state, x_chunk, cfg: EncoderConfig, tables):
+    """Window accumulate through the fused VMEM kernels (kwave_tpu.ops.encode_pallas):
+    the whole oSize-step loop runs on-chip with the accumulator planes resident in VMEM —
+    o x fewer HBM round trips than the fori_loop formulation, same per-step arithmetic."""
+    from kwave_tpu.ops import encode_pallas as ep
+
+    o = cfg.o_size
+    parity = (state["sampled_step"] // o) % 2
+    mirror = (state["compressed_step"] == 0) & cfg.overlap
+    tabs = _stacked_tables(tables)
+    if cfg.mode40:
+        keys = ("hdr1", "mr1", "mi1") + (("hdr2", "mr2", "mi2") if cfg.overlap else ())
+        planes = tuple(state[k] for k in keys)
+        new = ep.encode_window_40b_exact(
+            x_chunk, tabs, planes, cfg.e_const, parity, mirror, overlap=cfg.overlap
+        )
+    else:
+        keys = ("acc1_re", "acc1_im") + (("acc2_re", "acc2_im") if cfg.overlap else ())
+        planes = tuple(state[k] for k in keys)
+        new = ep.encode_window_float_exact(
+            x_chunk, tabs, planes, parity, mirror, overlap=cfg.overlap
+        )
+    out = dict(state, **dict(zip(keys, new)))
+    out["sampled_step"] = state["sampled_step"] + o
+    return out
+
+
 def encode_chunk(state, x_chunk, cfg: EncoderConfig, tables):
     """Process one aligned oSize-step chunk; emits exactly one frame.
 
-    Requires state.sampled_step to be a multiple of oSize (use `encode_steps` to realign after
-    a mid-window resume).
+    Requires state.sampled_step to be a multiple of oSize. On TPU the window accumulate
+    runs through the fused Pallas kernels (see `_encode_chunk_pallas`); elsewhere (and
+    under `USE_PALLAS = False`) it is a lax.fori_loop of per-step MACs.
     """
     o = cfg.o_size
+    if _use_pallas():
+        return _emit(_encode_chunk_pallas(state, x_chunk, cfg, tables), cfg)
     parity = (state["sampled_step"] // o) % 2
 
     def body(i, st):
@@ -314,8 +362,31 @@ def encode_series_exact(series, basis: CompressionBasis, shifted=False, mode40=F
         return tuple(f[None] for f in frame), state
 
     n_chunks = t_total // o
-    chunks = series[: n_chunks * o].reshape(n_chunks, o, n)
-    state, frames = encode_chunks(state, chunks, cfg, tables)
+    if _use_pallas() and n_chunks >= 1:
+        # whole-series fused kernel: the K-window sweep in ONE pallas_call (per-window
+        # dispatch would dominate standalone encodes; see ops.encode_pallas)
+        from kwave_tpu.ops import encode_pallas as ep
+
+        tabs = _stacked_tables(tables)
+        if mode40:
+            frames, planes = ep.encode_series_40b(
+                series, tabs, cfg.e_const, o, overlap=cfg.overlap
+            )
+            keys = ("hdr1", "mr1", "mi1", "hdr2", "mr2", "mi2")
+            state.update({k: v for k, v in zip(keys, planes) if cfg.overlap or
+                          k in ("hdr1", "mr1", "mi1")})
+        else:
+            frames, planes = ep.encode_series_float_exact(
+                series, tabs, o, overlap=cfg.overlap
+            )
+            keys = ("acc1_re", "acc1_im", "acc2_re", "acc2_im")
+            state.update({k: v for k, v in zip(keys, planes) if cfg.overlap or
+                          k in ("acc1_re", "acc1_im")})
+        state["sampled_step"] = jnp.int32(n_chunks * o)
+        state["compressed_step"] = jnp.int32(n_chunks)
+    else:
+        chunks = series[: n_chunks * o].reshape(n_chunks, o, n)
+        state, frames = encode_chunks(state, chunks, cfg, tables)
     # Trailing partial window: accumulate into state (no emission; reference emits the next
     # frame only at the next saving boundary).
     rem = t_total - n_chunks * o
@@ -367,7 +438,16 @@ def encode_series_fast(series, basis: CompressionBasis, shifted=False, mode40=Fa
     o = basis.o_size
     be_re, be_im, be1_re, be1_im = (jnp.asarray(a[:, : 2 * o].T) for a in basis.tables(shifted))
     if overlap:
-        f_re, f_im = _fast_project(series, be_re, be_im, o, precision)
+        if _use_pallas() and series.shape[0] >= o:
+            # whole-series fused kernel: one HBM read of the series, frames written once
+            from kwave_tpu.ops import fastpath
+
+            tab = jnp.concatenate([be_re, be_im], axis=1)  # [2o, 2H]
+            frames = fastpath.encode_frames(series, tab[:o], tab[o:], o)
+            h = basis.harmonics
+            f_re, f_im = frames[:, :h], frames[:, h:]
+        else:
+            f_re, f_im = _fast_project(series, be_re, be_im, o, precision)
     else:
         # Single accumulator with basis bE + bE_1, reset every o steps: one matmul per chunk
         # against the summed half-tables.

@@ -2,11 +2,17 @@
 the same kernels compile for TPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+import pytest
 
 from kwave_tpu import bitpack, encoder
 from kwave_tpu.basis import MAX_EXP_P, generate_basis
-from kwave_tpu.ops import encode_window_40b_exact, encode_window_float
+from kwave_tpu.ops import (
+    encode_window_40b_exact,
+    encode_window_float,
+    encode_window_float_exact,
+)
 
 
 def _series(t, n, seed=0, amp=1e5):
@@ -105,3 +111,82 @@ def test_40b_roundtrip_through_kernel_codec_helpers():
     d2 = bitpack.decode40(jnp.asarray(h1), jnp.asarray(r1), jnp.asarray(i1), MAX_EXP_P)
     np.testing.assert_array_equal(np.asarray(d1[0]), np.asarray(d2[0]))
     np.testing.assert_array_equal(np.asarray(d1[1]), np.asarray(d2[1]))
+
+
+@pytest.mark.parametrize("mode40", [False, True])
+@pytest.mark.parametrize("overlap", [True, False])
+def test_production_dispatch_matches_fori_path(mode40, overlap):
+    """encoder.encode_chunk routed through the fused Pallas window kernels produces the
+    same frames as the lax.fori_loop formulation (the driver's `c` streams dispatch to
+    the kernels on TPU; this pins the two paths against each other in interpret mode)."""
+    cb = generate_basis(10.0, 1, 2, normalize=True)
+    o, h = cb.o_size, cb.harmonics
+    n, windows = 200, 5  # n deliberately not a lane multiple
+    x = _series(o * windows, n, seed=7)
+    cfg = encoder.EncoderConfig.for_stream(cb, False, mode40, overlap)
+    tables = encoder.make_tables(cb, False)
+
+    results = {}
+    for use_pallas in (False, True):
+        encoder.USE_PALLAS = use_pallas
+        jax.clear_caches()  # USE_PALLAS is not part of the jit cache key
+        try:
+            st = encoder.init_state(cfg, n)
+            frames = []
+            for w in range(windows):
+                st, frame = encoder.encode_chunk(
+                    st, jnp.asarray(x[w * o : (w + 1) * o]), cfg, tables
+                )
+                frames.append(tuple(np.asarray(f) for f in frame))
+            results[use_pallas] = frames
+        finally:
+            encoder.USE_PALLAS = None
+    jax.clear_caches()
+
+    for w in range(windows):
+        for k, (a, b) in enumerate(zip(results[False][w], results[True][w])):
+            if mode40:
+                np.testing.assert_array_equal(a, b, err_msg=f"win {w} plane {k}")
+            else:
+                # XLA:CPU FMA-contracts the two loop formulations differently at the
+                # LLVM level (see tools/validate_tpu.py); on TPU the on-chip gate
+                # asserts bitwise equality instead.
+                np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-3,
+                                           err_msg=f"win {w} plane {k}")
+
+
+def test_float_exact_window_kernel_vs_oracle():
+    """The fused float window kernel reproduces the NumPy oracle's frames (interpret
+    mode executes the same per-step MAC order)."""
+    from kwave_tpu import oracle
+
+    cb = generate_basis(10.0, 1, 2, normalize=True)
+    o, h = cb.o_size, cb.harmonics
+    n, windows = 96, 4
+    x = _series(o * windows, n, seed=11)
+
+    enc = oracle.OracleEncoder(cb, n, total_steps=o * windows)
+    frames_o = enc.encode_series(x)
+
+    tables = encoder.make_tables(cb, False)
+    tabs = encoder._stacked_tables(tables)
+    z = jnp.zeros((h, n), jnp.float32)
+    state = (z, z, z, z)
+    for w in range(windows):
+        chunk = jnp.asarray(x[w * o : (w + 1) * o])
+        state = encode_window_float_exact(
+            chunk, tabs, state, parity=w % 2, mirror=(w == 0)
+        )
+        odd = (w + 1) % 2 == 0
+        fr = (state[0], state[1]) if odd else (state[2], state[3])
+        # interpret mode compiles through XLA:CPU, whose LLVM-level FMA contraction
+        # perturbs the MAC chain (amplified by cancellation); amplitudes are ~1e5 so
+        # atol 1e-2 is ~1e-7 relative to scale. TPU asserts bitwise (validate_tpu).
+        np.testing.assert_allclose(np.asarray(fr[0]).T, frames_o[w][0],
+                                   rtol=1e-5, atol=1e-2, err_msg=f"re win {w}")
+        np.testing.assert_allclose(np.asarray(fr[1]).T, frames_o[w][1],
+                                   rtol=1e-5, atol=1e-2, err_msg=f"im win {w}")
+        if odd:
+            state = (z, z, state[2], state[3])
+        else:
+            state = (state[0], state[1], z, z)

@@ -56,6 +56,47 @@ def check(name, series, basis, shifted=False, mode40=False, overlap=True):
     return n_mismatch == 0
 
 
+def check_production_dispatch(name, series, basis, shifted=False, mode40=False,
+                              overlap=True):
+    """The driver's c-stream path: encode_chunk with the Pallas fused window kernels
+    (USE_PALLAS=True, real Mosaic lowering) vs the NumPy oracle, frame for frame."""
+    import jax.numpy as jnp
+
+    enc = oracle.OracleEncoder(
+        basis, series.shape[1], shifted=shifted, mode40=mode40, overlap=overlap,
+        total_steps=series.shape[0],
+    )
+    frames_o = enc.encode_series(series)
+    cfg = encoder.EncoderConfig.for_stream(basis, shifted, mode40, overlap)
+    tables = encoder.make_tables(basis, shifted)
+    o = cfg.o_size
+    saved = encoder.USE_PALLAS
+    encoder.USE_PALLAS = True
+    jax.clear_caches()
+    try:
+        st = encoder.init_state(cfg, series.shape[1])
+        n_mismatch = 0
+        for w in range(series.shape[0] // o):
+            st, frame = encoder.encode_chunk(
+                st, jnp.asarray(series[w * o : (w + 1) * o]), cfg, tables
+            )
+            for k, plane in enumerate(frame):
+                plane_j = np.asarray(plane).T
+                plane_o = frames_o[w][k]
+                if mode40:
+                    eq = np.array_equal(plane_j.astype(plane_o.dtype), plane_o)
+                else:
+                    eq = np.array_equal(plane_j.view(np.uint32), plane_o.view(np.uint32))
+                if not eq:
+                    n_mismatch += 1
+    finally:
+        encoder.USE_PALLAS = saved
+        jax.clear_caches()
+    status = "BIT-EXACT" if n_mismatch == 0 else f"MISMATCH ({n_mismatch} planes)"
+    print(f"  {name:55s} {series.shape[0] // o:3d} frames  {status}")
+    return n_mismatch == 0
+
+
 def main():
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     ok = True
@@ -76,6 +117,17 @@ def main():
     tiny = _series(basis.o_size - 3, 16, 20.0, seed=99)
     ok &= check("tiny record lastStep", tiny, basis)
     ok &= check("tiny record lastStep 40bit", tiny, basis, mode40=True)
+    # Production dispatch: encode_chunk through the fused Pallas window kernels
+    # (Mosaic lowering) vs the oracle — the exact bytes the driver writes on TPU
+    if jax.default_backend() == "tpu":
+        basis = generate_basis(period, 1, 2)
+        s = _series(6 * basis.o_size, 64, period, seed=5)
+        for mode40 in (False, True):
+            for overlap in (True, False):
+                tag = f"pallas dispatch {'40bit' if mode40 else 'float'}" \
+                      f"{'' if overlap else ' no-overlap'}"
+                ok &= check_production_dispatch(tag, s, basis, mode40=mode40,
+                                                overlap=overlap)
     # Pallas kernels with real Mosaic lowering (the CPU suite runs them in interpret
     # mode, which has hidden TPU-only issues before: unsupported uint32->f32 casts and
     # bf16 default-precision MXU matmuls)
