@@ -234,6 +234,19 @@ def run_simulation(
     timers.set_elapsed("data_load", run.data_load_seconds)
     timers.start("preprocessing")
 
+    # Multi-process SPMD: every process runs the identical compute; only process 0
+    # owns the output file (the reference's single-writer flush, generalized — host
+    # values cross the process boundary via fetch_global's allgather).
+    multiproc = jax.process_count() > 1
+    is_writer = jax.process_index() == 0
+
+    def _host(tree):
+        if multiproc:
+            from kwave_tpu.parallel.distributed import fetch_global
+
+            return fetch_global(tree)
+        return tree
+
     grid, medium = data.grid, data.medium
     is3d = grid.dim == 3
 
@@ -424,6 +437,11 @@ def run_simulation(
         # KSpaceFirstOrderSolver.cpp:186-228)
         import h5py
 
+        if multiproc:
+            raise NotImplementedError(
+                "checkpoint resume under multi-process execution is not wired yet; "
+                "resume single-process or per-leg"
+            )
         sampled_done = max(t0 - run.sampling_start, 0)
         f = h5py.File(output_path, "r+")
         # the output file must belong to the same (interrupted) run: its raw datasets
@@ -454,12 +472,15 @@ def run_simulation(
         stream_states = streams_mod.restore_aggregates_from_file(
             stream_states, specs, f, sampled_done
         )
-    else:
+    elif is_writer:
         f = create_output_file(output_path)
         writer = StreamWriter(
             f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
             run.compression_level, cuboid_shapes=cuboid_shapes, field_shape=grid.shape,
         )
+    else:  # non-writer process: full compute, no file
+        f = None
+        writer = None
     if ck is not None:
         timers.restore_cumulated(read_cumulated_times(f))
     window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
@@ -517,7 +538,9 @@ def run_simulation(
                 sim_state, stream_states, jnp.int32(t)
             )
         if pending is not None:
-            writer.flush_emissions(pending)
+            pending = _host(pending)  # collective under multi-process: all ranks join
+            if writer is not None:
+                writer.flush_emissions(pending)
         pending = emissions
         dt_it = _time.time() - t_it
         for _ in range(o):
@@ -537,31 +560,40 @@ def run_simulation(
             break
 
     if pending is not None:
-        writer.flush_emissions(pending)
+        pending = _host(pending)
+        if writer is not None:
+            writer.flush_emissions(pending)
         pending = None
     if interrupted:
         # aggregates are persisted RAW at leg boundaries; only the final leg finalizes
         # (IndexOutputStream reopen/postProcess split)
-        writer.flush_aggregates(streams_mod.raw_aggregates(stream_states, specs))
-        ckpt_io.write_checkpoint(
-            run.checkpoint_file,
-            jax.tree_util.tree_map(np.asarray, sim_state),
-            t,
-            (grid.nx, grid.ny, grid.nz),
-            stream_coeffs=streams_mod.stream_states_to_checkpoint(
-                stream_states, specs, n_sensors
-            ),
-        )
-        summary = {
-            name: (ds.shape if hasattr(ds, "shape")
-                   else {k: v.shape for k, v in ds.items()})
-            for name, ds in writer.datasets.items()
-        }
+        host_states = _host(stream_states)
+        host_sim = _host(sim_state)
+        if writer is not None:
+            writer.flush_aggregates(streams_mod.raw_aggregates(host_states, specs))
+        if is_writer:
+            ckpt_io.write_checkpoint(
+                run.checkpoint_file,
+                jax.tree_util.tree_map(np.asarray, host_sim),
+                t,
+                (grid.nx, grid.ny, grid.nz),
+                stream_coeffs=streams_mod.stream_states_to_checkpoint(
+                    host_states, specs, n_sensors
+                ),
+            )
+        summary = {}
+        if writer is not None:
+            summary = {
+                name: (ds.shape if hasattr(ds, "shape")
+                       else {k: v.shape for k, v in ds.items()})
+                for name, ds in writer.datasets.items()
+            }
         summary["__checkpointed_at__"] = (t,)
         timers.stop("simulation")
         timers.stop("total")
-        write_run_info(f, timers, file_path=output_path)  # cumulated times for next leg
-        f.close()
+        if f is not None:
+            write_run_info(f, timers, file_path=output_path)  # cumulated times, next leg
+            f.close()
         return summary
     # trailing steps (< one window): every sampled step still feeds raw rows, aggregate
     # folds, and compressed accumulators (the reference's sample+accumulate runs each
@@ -575,7 +607,9 @@ def run_simulation(
             sim_state, stream_states, tail_emissions = tail_fn(
                 sim_state, stream_states, jnp.int32(t)
             )
-        writer.flush_emissions(tail_emissions)  # raw rows; `c` entries are None
+        tail_emissions = _host(tail_emissions)
+        if writer is not None:
+            writer.flush_emissions(tail_emissions)  # raw rows; `c` entries are None
         t += rem
 
     # tiny-record lastStep rule (IndexOutputStream.cpp:455-456): when the whole sampled
@@ -597,42 +631,53 @@ def run_simulation(
             )
             partial[s.name] = frame
         streams_mod.accumulate_iavg_from_frames(stream_states, partial, specs)
-        writer.flush_emissions(partial)
+        partial = _host(partial)
+        if writer is not None:
+            writer.flush_emissions(partial)
 
     timers.stop("simulation")
     timers.start("postprocessing")
-    writer.flush_aggregates(
-        streams_mod.finalize_aggregates(stream_states, specs, sampled_steps,
-                                        compressed_frames=sampled_steps // o)
-    )
-    finals = {}
-    for s in specs:
-        if s.op == "final":
-            finals[s.name] = np.asarray(getattr(sim_state, _field_attr(s.source)))
-    writer.flush_final_fields(finals)
+    host_states = _host(stream_states)
+    if writer is not None:
+        writer.flush_aggregates(
+            streams_mod.finalize_aggregates(host_states, specs, sampled_steps,
+                                            compressed_frames=sampled_steps // o)
+        )
+    finals = {
+        s.name: getattr(sim_state, _field_attr(s.source))
+        for s in specs if s.op == "final"
+    }
+    finals = _host(finals)
+    if writer is not None:
+        writer.flush_final_fields(finals)
 
     if run.checkpoint_file is not None:
         # end-of-run checkpoint carries the stream coefficient accumulators too — the
         # reference persists them on every checkpoint (BaseOutputStream.cpp:551-606)
-        ckpt_io.write_checkpoint(
-            run.checkpoint_file,
-            jax.tree_util.tree_map(np.asarray, sim_state),
-            t,
-            (grid.nx, grid.ny, grid.nz),
-            stream_coeffs=streams_mod.stream_states_to_checkpoint(
-                stream_states, specs, n_sensors
-            ),
-        )
+        host_sim = _host(sim_state)
+        if is_writer:
+            ckpt_io.write_checkpoint(
+                run.checkpoint_file,
+                jax.tree_util.tree_map(np.asarray, host_sim),
+                t,
+                (grid.nx, grid.ny, grid.nz),
+                stream_coeffs=streams_mod.stream_states_to_checkpoint(
+                    host_states, specs, n_sensors
+                ),
+            )
 
-    summary = {
-        name: (ds.shape if hasattr(ds, "shape")
-               else {k: v.shape for k, v in ds.items()})
-        for name, ds in writer.datasets.items()
-    }
-    f.close()
+    summary = {}
+    if writer is not None:
+        summary = {
+            name: (ds.shape if hasattr(ds, "shape")
+                   else {k: v.shape for k, v in ds.items()})
+            for name, ds in writer.datasets.items()
+        }
+    if f is not None:
+        f.close()
 
-    mask_np = np.asarray(mask)
-    if run.i_avg or run.q_term:
+    mask_np = _host(mask)
+    if is_writer and (run.i_avg or run.q_term):
         from kwave_tpu.postproc import post_process_output_file
 
         post_process_output_file(
@@ -640,7 +685,7 @@ def run_simulation(
             want_i_avg=run.i_avg, want_q_term=run.q_term, from_coeffs=False,
             block_size=run.block_size,
         )
-    if run.q_term_c:
+    if is_writer and run.q_term_c:
         # I_avg_c was accumulated on the fly (iavg_c streams); Q term derives from it
         # (computeQTerm over the IAvgC data, KSpaceFirstOrderSolver.cpp:1016-1030)
         from kwave_tpu.postproc import q_term_from_intensity
@@ -649,16 +694,18 @@ def run_simulation(
 
     timers.stop("postprocessing")
     timers.stop("total")
-    import h5py
+    if is_writer:
+        import h5py
 
-    with h5py.File(output_path, "r+") as fo:
-        write_run_info(fo, timers, file_path=output_path)
-        if run.benchmark_steps is not None:
-            # record the --benchmark Nt truncation so the output is not mistaken for a
-            # full run (the reference prints it; we persist it with the timing attrs)
-            from kwave_tpu.io.hdf5 import write_attr
+        with h5py.File(output_path, "r+") as fo:
+            write_run_info(fo, timers, file_path=output_path)
+            if run.benchmark_steps is not None:
+                # record the --benchmark Nt truncation so the output is not mistaken
+                # for a full run (the reference prints it; we persist it with the
+                # timing attrs)
+                from kwave_tpu.io.hdf5 import write_attr
 
-            write_attr(fo, "benchmark_time_steps", int(run.benchmark_steps))
+                write_attr(fo, "benchmark_time_steps", int(run.benchmark_steps))
     return summary
 
 

@@ -61,6 +61,28 @@ def encode_sharded(
     return out
 
 
+def fetch_global(tree):
+    """Pytree of (possibly non-addressable, sharded) jax Arrays -> host numpy of the
+    GLOBAL value, identical on every process.
+
+    Non-fully-addressable arrays go through process_allgather's replicate-and-read
+    (a collective: every process must walk the same tree in the same order — pytree
+    traversal order is deterministic). Fully-addressable arrays (replicated or
+    single-process) are plain device_get. This is the multi-host edge of the driver's
+    writer: the analogue of the reference's single-writer HDF5 flush."""
+    from jax.experimental import multihost_utils
+
+    def one(x):
+        if x is None or isinstance(x, np.ndarray):
+            return x
+        x = jnp.asarray(x)
+        if jax.process_count() == 1 or x.is_fully_addressable:
+            return np.asarray(x)
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    return jax.tree_util.tree_map(one, tree, is_leaf=lambda v: v is None)
+
+
 def gather_frames(frames, mesh: Mesh) -> np.ndarray:
     """Sharded frame planes -> host arrays in sensor-index order.
 

@@ -1,0 +1,78 @@
+"""Worker for the two-process FULL-DRIVER test (run via subprocess, one per rank).
+
+Runs the complete run_simulation over a global 4-device mesh spanning two processes
+(2 virtual CPU devices each): z-sharded fields, pencil FFT over the process boundary,
+GSPMD stream processing, and the process-0 writer gathering every emission over the
+jax.distributed allgather (driver._host / parallel.distributed.fetch_global) — the
+multi-host generalization of the reference's single-writer HDF5 flush.
+
+Usage: python tests/mp_driver_worker.py <rank> <nprocs> <port> <out_h5>
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=2").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def build_input():
+    """Deterministic tiny 3D case — must match the reference run in the test."""
+    from kwave_tpu.io.input_file import InputData
+    from kwave_tpu.solver import Grid, Medium
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    mask = np.sort(
+        np.random.default_rng(3).choice(grid.n_elements, 64, replace=False)
+    ).astype(np.int64)
+    return InputData(
+        grid=grid,
+        medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4, 4),
+        pml_alpha=(2.0,) * 3,
+        sensor_mask_index=mask,
+        p0=p0,
+    )
+
+
+def main() -> int:
+    rank, nprocs, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+
+    from kwave_tpu.parallel import make_mesh
+    from kwave_tpu.parallel.distributed import initialize
+
+    initialize(coordinator=f"localhost:{port}", num_processes=nprocs, process_id=rank)
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert len(jax.devices()) == 2 * nprocs
+
+    from kwave_tpu.driver import RunConfig, run_simulation
+
+    mesh = make_mesh()  # all 4 global devices
+    data = build_input()
+    run = RunConfig(
+        flags=dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True),
+        period=10.0, harmonics=2,
+    )
+    summary = run_simulation(data, run, out, mesh=mesh)
+    if rank == 0:
+        assert "p_c" in summary, summary
+    else:
+        assert summary == {}, summary  # non-writer produces no file
+    jax.effects_barrier()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
