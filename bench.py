@@ -9,9 +9,17 @@ coefficients the reference's OpenMP accumulate loop produces,
 OutputStreams/IndexOutputStream.cpp:397-450) plus full decode (overlap-add reconstruction).
 Throughput counts bytes-in for encode + bytes-out for decode over the measured wall time.
 
-`vs_baseline` compares against the reference-CPU-oracle throughput recorded in BASELINE.md
-(measured on this container with kwave_tpu.oracle.OracleEncoder, single process — the
-faithful reimplementation of the reference CPU encode loop).
+Measurement: REPS_INNER round trips are CHAINED inside one compiled program — each
+iteration's input is the previous reconstruction, a true serial data dependency — so the
+number measures sustained on-device throughput, not per-dispatch overhead. (Over the axon
+tunnel a single dispatch costs ~2-5 ms, which would swamp a sub-millisecond kernel; the
+production driver amortizes dispatches the same way, one program per window.) Timing is
+closed with a 4-byte scalar probe that data-depends on the final output (tunnel-safe,
+see BASELINE.md methodology).
+
+`vs_baseline` compares against the reference-CPU-oracle float-encode throughput recorded
+in BASELINE.md (tools/measure_oracle.py — the faithful reimplementation of the reference
+CPU encode loop).
 """
 
 import json
@@ -21,6 +29,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from kwave_tpu import decoder, encoder
 from kwave_tpu.basis import generate_basis
@@ -33,6 +42,8 @@ PERIOD = 20.0
 HARMONICS = 2
 T_STEPS = 4096
 N_SENSORS = 16384  # 256 MB series
+REPS_INNER = 16  # chained round trips per dispatch
+REPS_OUTER = 4
 
 
 def make_series(t_steps: int, n: int) -> np.ndarray:
@@ -54,33 +65,45 @@ def main() -> None:
     tab_re = jnp.asarray(be_re[:, : 2 * o].T)
     tab_im = jnp.asarray(be_im[:, : 2 * o].T)
 
-    @jax.jit
-    def roundtrip(x):
+    def one_roundtrip(x):
         f_re, f_im = encoder.encode_series_fast(x, cb)
         rec = decoder.reconstruct(f_re, f_im, tab_re, tab_im, o, T_STEPS)
         return f_re, f_im, rec
+
+    @jax.jit
+    def roundtrip_chain(x):
+        # serial chain: iteration i+1 encodes iteration i's reconstruction — no
+        # loop-invariant hoisting possible, every round trip really runs
+        def body(carry, _):
+            _, _, rec = one_roundtrip(carry)
+            return rec, None
+
+        rec, _ = lax.scan(body, x, None, length=REPS_INNER)
+        return rec
 
     # Scalar probe that forces full execution before timing stops. On remote backends
     # (the axon TPU tunnel) jax.block_until_ready returns before the device has actually
     # executed the enqueued programs, so timing must be closed by fetching a value that
     # data-depends on the final output (a 4-byte scalar; bulk fetches are tunnel-limited).
-    probe = jax.jit(lambda a, b, c: jnp.sum(a) + jnp.sum(b) + jnp.sum(c))
+    probe = jax.jit(lambda a: jnp.sum(a))
 
-    # warmup + correctness guard
-    f_re, f_im, rec = roundtrip(series)
-    float(probe(f_re, f_im, rec))
+    # correctness guard on one round trip (the chain re-encodes its own reconstruction,
+    # which is a fixed point of the transform for band-limited signals)
+    f_re, f_im, rec = jax.jit(one_roundtrip)(series)
+    float(probe(rec))
     err = float(
         jnp.max(jnp.abs(rec[2 * o : n_frames * o - 2 * o] - series[2 * o : n_frames * o - 2 * o]))
         / jnp.max(jnp.abs(series))
     )
     assert err < 0.02, f"roundtrip rel err {err}"
 
-    reps = 30
+    out = roundtrip_chain(series)
+    float(probe(out))  # warmup + compile
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = roundtrip(series)
-    float(probe(*out))  # device executes in enqueue order: waits for all reps
-    dt = (time.perf_counter() - t0) / reps
+    for _ in range(REPS_OUTER):
+        out = roundtrip_chain(series)
+    float(probe(out))  # device executes in enqueue order: waits for all reps
+    dt = (time.perf_counter() - t0) / (REPS_OUTER * REPS_INNER)
 
     bytes_in = series.size * 4  # encode reads the series
     bytes_out = rec.size * 4  # decode writes the reconstruction

@@ -72,6 +72,15 @@ def reconstruct(
     n_c = f_re.shape[0]
     o = o_size
     k_max = (n_steps + o - 1) // o
+    from kwave_tpu.encoder import _use_pallas
+
+    if _use_pallas():
+        # whole-series fused kernel: reads the (small) frames, writes the series once
+        from kwave_tpu.ops import fastpath
+
+        frames = jnp.concatenate([f_re, f_im], axis=1)  # [Nc, 2H, N]
+        tab4 = jnp.concatenate([be_re[o:], be_im[o:], be_re[:o], be_im[:o]], axis=1)
+        return fastpath.reconstruct_series(frames, tab4, o, n_steps, normalized)
     # x[k*o + r] = late[k, r] + early[k+1, r]. The coefficient frames are ~oSize x smaller
     # than the synthesized series, so pair frame k with frame k+1 on the (cheap) coefficient
     # side first, then run ONE contraction that writes the big output exactly once:

@@ -1,0 +1,124 @@
+"""Fast-path whole-series Pallas kernels vs the jnp einsum formulations
+(interpret mode on CPU; the same kernels compile for TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from kwave_tpu import decoder, encoder
+from kwave_tpu.basis import generate_basis
+from kwave_tpu.ops import fastpath
+
+
+def _series(t, n, seed=0, amp=1e5):
+    rng = np.random.default_rng(seed)
+    tt = np.arange(t, dtype=np.float32)[:, None]
+    ph = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+    return (amp * np.sin(2 * np.pi * tt / 20.0 + ph)
+            + 0.01 * amp * rng.standard_normal((t, n))).astype(np.float32)
+
+
+def test_encode_frames_matches_einsum_fast_path():
+    cb = generate_basis(20.0, 1, 2, normalize=True)
+    o, h = cb.o_size, cb.harmonics
+    n, windows = 200, 6  # n not a lane multiple
+    x = _series(o * windows, n)
+
+    ref_re, ref_im = encoder.encode_series_fast(jnp.asarray(x), cb)
+
+    be_re, be_im, _, _ = cb.tables(False)
+    tab = np.concatenate([be_re[:, : 2 * o].T, be_im[:, : 2 * o].T], axis=1)
+    frames = fastpath.encode_frames(
+        jnp.asarray(x), jnp.asarray(tab[:o]), jnp.asarray(tab[o:]), o
+    )
+    assert frames.shape == (windows, 2 * h, n)
+    np.testing.assert_allclose(np.asarray(frames[:, :h]), np.asarray(ref_re),
+                               rtol=1e-6, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(frames[:, h:]), np.asarray(ref_im),
+                               rtol=1e-6, atol=1e-2)
+
+
+def test_reconstruct_series_matches_einsum_decoder():
+    cb = generate_basis(20.0, 1, 2, normalize=True)
+    o, h = cb.o_size, cb.harmonics
+    n, windows = 160, 5
+    x = _series(o * windows, n, seed=4)
+    f_re, f_im = encoder.encode_series_fast(jnp.asarray(x), cb)
+
+    be_re, be_im, _, _ = cb.tables(False)
+    tab_re = jnp.asarray(be_re[:, : 2 * o].T)
+    tab_im = jnp.asarray(be_im[:, : 2 * o].T)
+    ref = decoder.reconstruct(f_re, f_im, tab_re, tab_im, o, o * windows)
+
+    frames = jnp.concatenate([f_re, f_im], axis=1)  # [K, 2H, N]
+    tab4 = jnp.concatenate(
+        [tab_re[o:], tab_im[o:], tab_re[:o], tab_im[:o]], axis=1
+    )  # [o, 4H]
+    got = fastpath.reconstruct_series(frames, tab4, o, o * windows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-2)
+
+    # round trip accuracy on a clean band-limited signal (the noise term above is not
+    # representable by 2 harmonics, so it is excluded from the accuracy gate)
+    rng = np.random.default_rng(6)
+    tt = np.arange(o * windows, dtype=np.float32)[:, None]
+    ph = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+    xc = (1e5 * np.sin(2 * np.pi * tt / 20.0 + ph)
+          + 1e4 * np.sin(4 * np.pi * tt / 20.0 + 1.7 * ph)).astype(np.float32)
+    fr2, fi2 = encoder.encode_series_fast(jnp.asarray(xc), cb)
+    got2 = fastpath.reconstruct_series(
+        jnp.concatenate([fr2, fi2], axis=1), tab4, o, o * windows
+    )
+    mid = slice(2 * o, o * windows - 2 * o)
+    err = np.max(np.abs(np.asarray(got2)[mid] - xc[mid])) / np.max(np.abs(xc))
+    assert err < 0.02
+
+
+def test_whole_series_exact_kernels_match_fori(monkeypatch):
+    """encode_series_exact's whole-series Pallas path vs the fori/scan path (interpret
+    mode; the on-chip gate asserts bitwise vs the oracle)."""
+    import jax
+
+    from kwave_tpu.ops import encode_pallas as ep
+
+    cb = generate_basis(10.0, 1, 2, normalize=True)
+    o, h = cb.o_size, cb.harmonics
+    n, windows = 200, 6
+    x = _series(o * windows + 3, n, seed=9)  # +3 trailing steps
+
+    results = {}
+    for use_pallas in (False, True):
+        encoder.USE_PALLAS = use_pallas
+        jax.clear_caches()
+        try:
+            per_mode = {}
+            for mode40 in (False, True):
+                for overlap in (True, False):
+                    frames, state = encoder.encode_series_exact(
+                        jnp.asarray(x), cb, mode40=mode40, overlap=overlap
+                    )
+                    per_mode[(mode40, overlap)] = (
+                        tuple(np.asarray(f) for f in frames),
+                        {k: np.asarray(v) for k, v in state.items()},
+                    )
+            results[use_pallas] = per_mode
+        finally:
+            encoder.USE_PALLAS = None
+    jax.clear_caches()
+
+    for key in results[False]:
+        mode40, overlap = key
+        fr_a, st_a = results[False][key]
+        fr_b, st_b = results[True][key]
+        for k, (a, b) in enumerate(zip(fr_a, fr_b)):
+            if mode40:
+                np.testing.assert_array_equal(a, b, err_msg=f"{key} plane {k}")
+            else:
+                np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-2,
+                                           err_msg=f"{key} plane {k}")
+        assert set(st_a) == set(st_b), key
+        for sk in st_a:
+            if mode40 or sk in ("sampled_step", "compressed_step"):
+                np.testing.assert_array_equal(st_a[sk], st_b[sk],
+                                              err_msg=f"{key} state {sk}")
+            else:
+                np.testing.assert_allclose(st_a[sk], st_b[sk], rtol=1e-5, atol=1e-2,
+                                           err_msg=f"{key} state {sk}")
