@@ -41,23 +41,15 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _dot_bf16x3(a: jax.Array, b: jax.Array, dims) -> jax.Array:
-    """fp32 contraction via three bf16 MXU passes with fp32 accumulation (the bf16x3
-    algorithm, ~5e-7 relative error — far below the codec's quantization floor).
+def _dot_f32(a: jax.Array, b: jax.Array, dims) -> jax.Array:
+    """fp32-accurate MXU contraction. HIGHEST = six bf16 passes (full fp32 emulation).
 
-    Mosaic supports only DEFAULT (one bf16 pass, ~1e-3 rel) and HIGHEST (six passes)
-    dot precisions; bf16x3 is the right point for these tiny-M matmuls whose cost is
-    pure pass count. a_lo/b_lo carry the fp32 mantissa bits bf16 drops."""
-    a_hi = a.astype(jnp.bfloat16)
-    b_hi = b.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def d(x, y):
-        return lax.dot_general(x, y, dimension_numbers=dims,
-                               preferred_element_type=jnp.float32)
-
-    return d(a_hi, b_hi) + (d(a_lo, b_hi) + d(a_hi, b_lo))
+    Measured alternatives on chip: a 2-way bf16 split with 3 products leaves ~3e-5
+    relative error (above the 40-bit codec's ~8e-6 quantization floor) and bought only
+    ~6% end-to-end — the kernels are bandwidth-limited, not pass-count-limited."""
+    return lax.dot_general(a, b, dimension_numbers=dims,
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
 
 
 def _pick_tile(n: int, o_size: int, budget_bytes: int = 4 << 20) -> int:
@@ -88,14 +80,13 @@ def _enc_kernel(chunk_ref, tab_lo_ref, tab_hi_ref, frame_ref, p1_scratch, *,
     block of KB windows (separate matmuls and VPU MAC loops both measured slower: M
     and K are tiny next to the 128x128 array, so MXU issue count — which the fused M
     dim halves — and per-grid-step overhead dominate; KB blocking amortizes the
-    latter). bf16x3 precision: ~5e-7 relative error, half HIGHEST's pass count, far
-    below the codec's quantization floor."""
+    latter). fp32 precision via HIGHEST (see _dot_f32)."""
     k = pl.program_id(1)
     h2 = tab_lo_ref.shape[1]
     tab = jnp.concatenate([tab_lo_ref[:], tab_hi_ref[:]], axis=1)  # [o, 4H]
     prev = p1_scratch[:]
     for j in range(kb):  # static unroll over the window block
-        p = _dot_bf16x3(tab, chunk_ref[j], (((0,), (0,)), ((), ())))  # [4H, tile]
+        p = _dot_f32(tab, chunk_ref[j], (((0,), (0,)), ((), ())))  # [4H, tile]
         p1, p2 = p[:h2], p[h2:]
         first = (k == 0) & (j == 0)
         frame_ref[j] = jnp.where(first, p1, prev) + p2
@@ -155,7 +146,7 @@ def _dec_kernel(f_late_ref, f_early_ref, tab_ref, x_ref, *, o_size: int, kb: int
     # MXU/precision choices); KB windows per grid step
     for j in range(kb):
         g = jnp.concatenate([f_late_ref[j], f_early_ref[j]], axis=0)
-        x_ref[j] = _dot_bf16x3(tab_ref[:], g, (((1,), (0,)), ((), ())))
+        x_ref[j] = _dot_f32(tab_ref[:], g, (((1,), (0,)), ((), ())))
 
 
 @functools.partial(jax.jit, static_argnames=("o_size", "n_steps", "normalized",
