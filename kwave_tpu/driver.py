@@ -67,6 +67,14 @@ class RunConfig:
     progress_interval: int = 5  # -r flag: progress print interval in percent
     benchmark_steps: Optional[int] = None  # --benchmark: Nt truncation, recorded in attrs
     data_load_seconds: float = 0.0  # input-file read time measured by the CLI
+    # MXU matmul FFT (ops.mxfft) instead of XLA's FFT for the solver's spectral work.
+    # None = auto: on TPU, single-device, radix-supported grids with a >=256 axis
+    # (where XLA's full-DFT-matmul FFT is the measured bottleneck, tools/bench_fft.py).
+    matmul_fft: Optional[bool] = None
+    # Regenerate radially-symmetric spectral operators / c0-derived media on device
+    # instead of storing full 3D arrays (make_operators(compact=True)).
+    # None = auto: grids >= 192^3 equivalent (saves ~2.3 GB resident at 512^3).
+    compact_operators: Optional[bool] = None
 
 
 def detect_period(data: InputData, run: RunConfig) -> Optional[float]:
@@ -305,12 +313,26 @@ def run_simulation(
     need_additive = (data.p_source_mode == 2 and data.p_source_flag) or (
         data.u_source_mode == 2 and data.u_source_flag_any()
     )
+    from kwave_tpu.ops import mxfft as mxfft_mod
+
+    compact = run.compact_operators
+    if compact is None:
+        compact = grid.n_elements >= 192**3
+    use_mxfft = run.matmul_fft
+    if use_mxfft is None:
+        use_mxfft = (
+            mesh is None
+            and jax.default_backend() == "tpu"
+            and mxfft_mod.supported(grid.shape)
+            and max(grid.shape) >= 256
+        )
     ops = make_operators(
         grid, medium, data.pml_size, data.pml_alpha,
         absorbing=data.absorbing,
         need_source_kappa=bool(need_additive),
         need_shift=streams_mod.needs_shifted_velocity(specs),
         nonuniform=data.nonuniform_maps if data.nonuniform else None,
+        compact=bool(compact),
     )
     # Stage the operator set on device ONCE. Leaving them as host numpy would re-upload
     # every buffer on every window call (25x slower over the axon tunnel), while baking
@@ -323,6 +345,14 @@ def run_simulation(
         ops = shard_operators(ops, len(grid.shape), mesh, grid=grid, pencil=True)
         fft = pencil_fft(mesh, grid.nx)
     else:
+        if use_mxfft:
+            # MXU matmul FFT with permuted spectral bin order; operators reordered
+            # once here so the solver pays zero runtime for the permutation.
+            from kwave_tpu.solver.step import FftOps
+
+            rfftn_fn, irfftn_fn, ax_perms = mxfft_mod.make_fft_ops(grid.shape)
+            ops = mxfft_mod.permute_operators(ops, len(grid.shape), ax_perms)
+            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn)
         ops = jax.tree_util.tree_map(jnp.asarray, ops)
     cfg = SolverConfig(
         nonlinear=data.nonlinear,

@@ -95,7 +95,11 @@ def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "spa
     d = {}
     for f in dataclasses.fields(ops):
         v = getattr(ops, f.name)
-        d[f.name] = v if f.name == "dt" else put(f.name, v)
+        # static metadata (dt, c_ref_dt_2, alpha_power) stays a Python float — it is
+        # jit-static aux data, and device_put of host scalars trips the multi-process
+        # cross-host consistency check
+        static = bool(f.metadata.get("static"))
+        d[f.name] = v if static else put(f.name, v)
     return Operators(**d)
 
 

@@ -150,7 +150,22 @@ class Operators:
     dxudxn: Optional[np.ndarray] = None
     dyudyn: Optional[np.ndarray] = None
     dzudzn: Optional[np.ndarray] = None
+    # ---- compact spectral mode (make_operators(compact=True)) ----
+    # The big spectral operators (kappa, absorb_nabla1/2, source_kappa) and the
+    # c0-derived media fields (c2, absorb_tau/eta) are radially-symmetric functions
+    # of |k| / pointwise functions of c0: instead of storing full 3D arrays they are
+    # recomputed on device from these per-axis squared-wavenumber vectors (and c0)
+    # inside the step — XLA fuses the generation into the spectral multiplies. Saves
+    # ~2.3 GB resident HBM at 512^3 heterogeneous absorbing (the reference has no
+    # equivalent: it precomputes all of them, KSpaceFirstOrderSolver.cpp:2404-2652).
+    k2_x: Optional[np.ndarray] = None  # [nxR] fp32 kx^2 (rfft-reduced)
+    k2_y: Optional[np.ndarray] = None  # [ny]
+    k2_z: Optional[np.ndarray] = None  # [nz] (3D only)
+    c0: Optional[np.ndarray] = None  # compact heterogeneous: c2/tau/eta derive from c0
+    alpha2: Optional[np.ndarray] = None  # 2*alpha_coeff*alpha_np (tau/eta prefactor)
     dt: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    c_ref_dt_2: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    alpha_power: float = dataclasses.field(metadata=dict(static=True), default=1.5)
 
 
 def _k_components(n: int, d: float) -> np.ndarray:
@@ -292,14 +307,45 @@ def make_operators(
     need_source_kappa: bool = False,
     need_shift: bool = False,
     nonuniform: Optional[dict] = None,
+    compact: bool = False,
 ) -> Operators:
     """Build the full operator set for one simulation (reference preProcessing,
-    KSpaceFirstOrderSolver.cpp:784-861)."""
+    KSpaceFirstOrderSolver.cpp:784-861).
+
+    ``compact=True`` skips materializing the radially-symmetric spectral arrays
+    (kappa/source_kappa/absorb_nabla1/2) and, for heterogeneous media, the
+    c0-derived fields (c2, absorb_tau/eta): the solver step regenerates them on
+    device from the per-axis k^2 vectors and c0 (step._kappa & co). Saves ~2.3 GB
+    resident HBM at 512^3 heterogeneous absorbing at the cost of a few fused VPU
+    transcendentals per spectral point; results agree to fp32 rounding.
+    """
     c0 = np.asarray(medium.c0, np.float64)
     c_ref = float(medium.c_ref) if medium.c_ref is not None else float(c0.max())
     dim = grid.dim
 
-    if absorbing:
+    k2_x = k2_y = k2_z = None
+    compact_c0 = alpha2 = None
+    if compact:
+        kappa = None
+        nabla1 = nabla2 = None
+        k2_x = (_k_components(grid.nx, grid.dx)[: grid.nx // 2 + 1] ** 2).astype(
+            np.float32
+        )
+        k2_y = (_k_components(grid.ny, grid.dy) ** 2).astype(np.float32)
+        if dim == 3:
+            k2_z = (_k_components(grid.nz, grid.dz) ** 2).astype(np.float32)
+        if absorbing:
+            alpha_np = (
+                100.0 * (1.0e-6 / (2.0 * np.pi)) ** medium.alpha_power
+            ) / (20.0 * math.log10(math.e))
+            alpha2 = np.asarray(
+                2.0 * np.asarray(medium.alpha_coeff, np.float64) * alpha_np, np.float32
+            )
+            tau = eta = None
+        else:
+            tau = eta = None
+        compact_c0 = c0.astype(np.float32)
+    elif absorbing:
         kappa = make_kappa(grid, c_ref)  # generateKappaAndNablas shares the formula
         nabla1, nabla2 = make_absorb_nablas(grid, medium.alpha_power)
         tau, eta = make_tau_eta(medium.alpha_coeff, medium.c0, medium.alpha_power)
@@ -371,7 +417,7 @@ def make_operators(
         dyudyn = vec("dyudyn", grid.ny)
         dzudzn = vec("dzudzn", grid.nz) if dim == 3 else None
 
-    c2 = (c0 * c0).astype(np.float32)
+    c2 = None if compact else (c0 * c0).astype(np.float32)
     bona = None if medium.bona is None else np.asarray(medium.bona, np.float32)
 
     return Operators(
@@ -398,7 +444,11 @@ def make_operators(
         absorb_nabla2=nabla2,
         absorb_tau=tau,
         absorb_eta=eta,
-        source_kappa=make_source_kappa(grid, c_ref) if need_source_kappa else None,
+        source_kappa=(
+            make_source_kappa(grid, c_ref)
+            if need_source_kappa and not compact
+            else None
+        ),
         shift_x_neg=make_shift_neg(grid.nx, grid.dx, True) if need_shift else None,
         shift_y_neg=make_shift_neg(grid.ny, grid.dy, True) if need_shift else None,
         shift_z_neg=make_shift_neg(grid.nz, grid.dz, True) if need_shift and dim == 3
@@ -406,5 +456,12 @@ def make_operators(
         dxudxn=dxudxn,
         dyudyn=dyudyn,
         dzudzn=dzudzn,
+        k2_x=k2_x,
+        k2_y=k2_y,
+        k2_z=k2_z,
+        c0=compact_c0,
+        alpha2=alpha2,
         dt=float(grid.dt),
+        c_ref_dt_2=float(c_ref * grid.dt / 2.0),
+        alpha_power=float(medium.alpha_power),
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -144,6 +145,70 @@ def _bc(vec: jax.Array, axis_from_end: int, ndim: int) -> jax.Array:
     return vec.reshape(shape)
 
 
+# ---------------------------------------------------------------------------
+# Compact-operator accessors: when make_operators(compact=True) left the big
+# radially-symmetric spectral arrays / c0-derived media fields as None, rebuild
+# them on device from the per-axis k^2 vectors (and c0). XLA fuses the generation
+# into the consuming spectral multiplies; the host-precompute variants
+# (KSpaceFirstOrderSolver.cpp:2404-2652) stay bit-preferred when present.
+# ---------------------------------------------------------------------------
+
+
+def _k_mag(ops: Operators, ndim: int) -> jax.Array:
+    """|k| over the reduced spectral grid from the compact per-axis k^2 vectors."""
+    k2 = _bc(ops.k2_x, 0, ndim) + _bc(ops.k2_y, 1, ndim)
+    if ndim == 3:
+        k2 = k2 + _bc(ops.k2_z, 2, ndim)
+    return jnp.sqrt(k2)
+
+
+def _kappa(ops: Operators, ndim: int) -> jax.Array:
+    """sinc k-space correction (generateKappa :2404-2452), lazy in compact mode."""
+    if ops.kappa is not None:
+        return ops.kappa
+    arg = jnp.float32(ops.c_ref_dt_2) * _k_mag(ops, ndim)
+    return jnp.where(arg == 0.0, 1.0, jnp.sin(arg) / jnp.where(arg == 0.0, 1.0, arg))
+
+
+def _source_kappa_op(ops: Operators, ndim: int) -> jax.Array:
+    """cos(c_ref*dt*k/2) (generateSourceKappa :2460-2506), lazy in compact mode."""
+    if ops.source_kappa is not None:
+        return ops.source_kappa
+    return jnp.cos(jnp.float32(ops.c_ref_dt_2) * _k_mag(ops, ndim))
+
+
+def _absorb_nablas(ops: Operators, ndim: int):
+    """|k|^(y-2), |k|^(y-1) with the k=0 pole zeroed (generateKappaAndNablas
+    :2568-2576), lazy in compact mode."""
+    if ops.absorb_nabla1 is not None:
+        return ops.absorb_nabla1, ops.absorb_nabla2
+    k = _k_mag(ops, ndim)
+    safe = jnp.where(k == 0.0, 1.0, k)
+    n1 = jnp.where(k == 0.0, 0.0, safe ** jnp.float32(ops.alpha_power - 2.0))
+    n2 = jnp.where(k == 0.0, 0.0, safe ** jnp.float32(ops.alpha_power - 1.0))
+    return n1, n2
+
+
+def _c2_op(ops: Operators) -> jax.Array:
+    """c^2 (computeC2 :2707-2725) — derived from c0 in compact heterogeneous mode."""
+    return ops.c2 if ops.c2 is not None else ops.c0 * ops.c0
+
+
+def _tau_eta_op(ops: Operators):
+    """Power-law absorption tau/eta (generateTauAndEta :2587-2652), lazy from
+    (alpha2 = 2*alpha_coeff*alpha_np, c0) in compact heterogeneous mode."""
+    if ops.absorb_tau is not None:
+        return ops.absorb_tau, ops.absorb_eta
+    ap = float(ops.alpha_power)
+    tau = -ops.alpha2 * ops.c0 ** jnp.float32(ap - 1.0)
+    eta = (
+        ops.alpha2
+        * (ops.c0 ** jnp.float32(ap))
+        * jnp.float32(math.tan(math.pi / 2.0 * ap))
+    )
+    return tau, eta
+
+
 def _grad_fields(field: jax.Array, ops: Operators, ddx, ddy, ddz, shape,
                  fft: FftOps = LOCAL_FFT):
     """ifftn(dd*_k_shift * kappa * fftn(field)) for each axis — the shared pattern of
@@ -154,7 +219,7 @@ def _grad_fields(field: jax.Array, ops: Operators, ddx, ddy, ddz, shape,
     and become complex64 only here, on device."""
     ndim = field.ndim
     fk = fft.rfftn(field)
-    fk = fk * ops.kappa
+    fk = fk * _kappa(ops, ndim)
     gx = fft.irfftn(fk * _bc(cvec(ddx), 0, ndim), shape)
     gy = fft.irfftn(fk * _bc(cvec(ddy), 1, ndim), shape)
     gz = fft.irfftn(fk * _bc(cvec(ddz), 2, ndim), shape) if ddz is not None else None
@@ -184,7 +249,7 @@ def _scale_additive_source(index, value, ops: Operators, shape, fft: FftOps = LO
     source_kappa in k-space, inverse transform (KSpaceFirstOrderSolver::scaleSource,
     KSpaceFirstOrderSolver.cpp:2339-2354)."""
     scaled = jnp.zeros(shape, jnp.float32).reshape(-1).at[index].set(value).reshape(shape)
-    sk = fft.rfftn(scaled) * ops.source_kappa
+    sk = fft.rfftn(scaled) * _source_kappa_op(ops, len(shape))
     return fft.irfftn(sk, shape)
 
 
@@ -248,7 +313,7 @@ def step(
 
     # -- velocity gradient (computeVelocityGradient :2126-2150): per-axis
     # duxdx = ifft(ddx_neg * kappa * fft(ux)) etc.
-    kap = ops.kappa
+    kap = _kappa(ops, ndim)
     duxdx = fft.irfftn(fft.rfftn(ux) * kap * _bc(cvec(ops.ddx_neg), 0, ndim), shape)
     duydy = fft.irfftn(fft.rfftn(uy) * kap * _bc(cvec(ops.ddy_neg), 1, ndim), shape)
     if is3d:
@@ -301,20 +366,23 @@ def step(
     # -- pressure update (computePressureNonlinear/Linear :2180-2245)
     rho_sum = rx + ry + (rz if is3d else 0.0)
     du_sum = duxdx + duydy + (duzdz if is3d else 0.0)
+    c2 = _c2_op(ops)
     if cfg.absorbing:
+        nabla1, nabla2 = _absorb_nablas(ops, ndim)
+        tau, eta = _tau_eta_op(ops)
         vel_grad_sum = ops.rho0 * du_sum
-        tau_term = fft.irfftn(fft.rfftn(vel_grad_sum) * ops.absorb_nabla1, shape)
-        eta_term = fft.irfftn(fft.rfftn(rho_sum) * ops.absorb_nabla2, shape)
+        tau_term = fft.irfftn(fft.rfftn(vel_grad_sum) * nabla1, shape)
+        eta_term = fft.irfftn(fft.rfftn(rho_sum) * nabla2, shape)
         if cfg.nonlinear:
             nonlin = (ops.bona * rho_sum * rho_sum) / (2.0 * ops.rho0) + rho_sum
-            p = ops.c2 * (nonlin + ops.absorb_tau * tau_term - ops.absorb_eta * eta_term)
+            p = c2 * (nonlin + tau * tau_term - eta * eta_term)
         else:
-            p = ops.c2 * (rho_sum + ops.absorb_tau * tau_term - ops.absorb_eta * eta_term)
+            p = c2 * (rho_sum + tau * tau_term - eta * eta_term)
     else:
         if cfg.nonlinear:
-            p = ops.c2 * (rho_sum + ops.bona * rho_sum * rho_sum / (2.0 * ops.rho0))
+            p = c2 * (rho_sum + ops.bona * rho_sum * rho_sum / (2.0 * ops.rho0))
         else:
-            p = ops.c2 * rho_sum
+            p = c2 * rho_sum
 
     new = SimState(p=p, ux_sgx=ux, uy_sgy=uy, uz_sgz=uz, rho_x=rx, rho_y=ry, rho_z=rz)
 
@@ -380,7 +448,7 @@ def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array,
     is3d = state.uz_sgz is not None
     shape = p0.shape
     dim = 3 if is3d else 2
-    rho_part = p0 / (jnp.float32(dim) * ops.c2)
+    rho_part = p0 / (jnp.float32(dim) * _c2_op(ops))
     gx, gy, gz = _grad_fields(p0, ops, ops.ddx_pos, ops.ddy_pos, ops.ddz_pos, shape, fft)
     half = jnp.float32(0.5)
     return SimState(

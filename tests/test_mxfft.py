@@ -1,0 +1,170 @@
+"""MXU matmul-FFT (kwave_tpu.ops.mxfft) numerics + solver-step/driver integration.
+
+The transform intentionally emits a PERMUTED spectral bin order (radix-2 DIF
+class-major, mxfft.perm); every comparison against jnp.fft applies that
+permutation explicitly, and operator-consistency tests go through
+mxfft.permute_operators the way the driver does.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kwave_tpu.ops import mxfft
+from kwave_tpu.solver import (
+    Grid,
+    Medium,
+    SolverConfig,
+    Sources,
+    init_state,
+    make_operators,
+    make_p0_init,
+    simulate,
+)
+from kwave_tpu.solver.step import FftOps, LOCAL_FFT
+
+
+def _ref_permuted(ref: np.ndarray, shape) -> np.ndarray:
+    """jnp.fft.rfftn output reordered to mxfft's bin order (minor axis canonical)."""
+    idx = [mxfft.perm(int(n)) for n in shape[:-1]] + [np.arange(ref.shape[-1])]
+    return ref[np.ix_(*idx)]
+
+
+@pytest.mark.parametrize("shape", [(256, 4, 16), (8, 256, 32), (4, 4, 512), (256, 32)])
+def test_rfftn_matches_jnp_up_to_perm(shape):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(shape).astype(np.float32)
+    fwd, inv, perms = mxfft.make_fft_ops(shape)
+    mine = np.asarray(jax.jit(fwd)(jnp.asarray(x)))
+    ref = np.fft.rfftn(x).astype(np.complex64)
+    ref_p = _ref_permuted(ref, shape)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(mine.real, ref_p.real, atol=2e-5 * scale)
+    np.testing.assert_allclose(mine.imag, ref_p.imag, atol=2e-5 * scale)
+    # perm really is a permutation of every non-minor axis
+    for ax, p in perms.items():
+        assert sorted(p.tolist()) == list(range(shape[ax]))
+
+
+@pytest.mark.parametrize("shape", [(256, 4, 16), (8, 128, 30), (256, 32)])
+def test_roundtrip(shape):
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(shape).astype(np.float32)
+    fwd, inv, _ = mxfft.make_fft_ops(shape)
+    y = np.asarray(jax.jit(lambda v: inv(fwd(v), shape))(jnp.asarray(x)))
+    np.testing.assert_allclose(y, x, atol=3e-5 * np.abs(x).max())
+
+
+def test_spectral_multiply_equivalence():
+    """irfftn(op * rfftn(x)) is permutation-invariant when the operator is permuted
+    the same way — the driver's actual usage pattern."""
+    shape = (256, 8, 16)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(shape).astype(np.float32)
+    op = rng.standard_normal((shape[0], shape[1], shape[2] // 2 + 1)).astype(np.float32)
+    fwd, inv, perms = mxfft.make_fft_ops(shape)
+    op_p = op[perms[0]]  # permute z axis (y axis of length 8 is identity)
+    got = np.asarray(
+        jax.jit(lambda v: inv(fwd(v) * jnp.asarray(op_p), shape))(jnp.asarray(x))
+    )
+    ref = np.fft.irfftn(np.fft.rfftn(x) * op, s=shape).astype(np.float32)
+    np.testing.assert_allclose(got, ref, atol=5e-5 * np.abs(ref).max())
+
+
+def _het_setup(shape, compact=False):
+    nz, ny, nx = shape
+    dx = 1e-4
+    dt = 0.3 * dx / 1600.0
+    grid = Grid(nx=nx, ny=ny, nz=nz, dx=dx, dy=dx, dz=dx, dt=dt, nt=100)
+    rng = np.random.default_rng(7)
+    c0 = (1500.0 + 100.0 * rng.random(grid.shape)).astype(np.float32)
+    rho0 = (1000.0 + 50.0 * rng.random(grid.shape)).astype(np.float32)
+    medium = Medium(c0=c0, rho0=rho0, alpha_coeff=0.75, alpha_power=1.5)
+    ops = make_operators(grid, medium, (2, 2, 2), (2.0,) * 3, absorbing=True,
+                         compact=compact)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[nz // 2, ny // 2, nx // 2] = 1e5
+    cfg = SolverConfig(absorbing=True, p0_source_flag=True)
+    return grid, ops, cfg, p0
+
+
+def test_step_with_mxfft_matches_local_fft():
+    """Full het absorbing steps through the mxfft path (permuted operators) track the
+    jnp.fft path to fp32 noise."""
+    shape = (256, 8, 8)
+    grid, ops, cfg, p0 = _het_setup(shape)
+    fwd, inv, perms = mxfft.make_fft_ops(shape)
+    mx = FftOps(rfftn=fwd, irfftn=inv)
+    ops_p = mxfft.permute_operators(ops, 3, perms)
+
+    def run(o, fft):
+        src = Sources(p0=jnp.asarray(p0), p0_init=make_p0_init(grid, o, p0, fft))
+        st, _ = simulate(init_state(grid), o, src, cfg, n_steps=8, fft=fft)
+        return np.asarray(st.p)
+
+    p_ref = run(ops, LOCAL_FFT)
+    p_mx = run(ops_p, mx)
+    np.testing.assert_allclose(p_mx, p_ref, atol=1e-4 * np.abs(p_ref).max())
+
+
+def test_compact_operators_match_precomputed():
+    """make_operators(compact=True) — lazy kappa/nablas/c2/tau/eta — reproduces the
+    precomputed-operator step to fp32 noise (16^3 het absorbing)."""
+    shape = (16, 16, 16)
+    grid, ops_full, cfg, p0 = _het_setup(shape, compact=False)
+    _, ops_c, _, _ = _het_setup(shape, compact=True)
+    assert ops_c.kappa is None and ops_c.absorb_nabla1 is None
+    assert ops_c.c2 is None and ops_c.absorb_tau is None
+
+    def run(o):
+        src = Sources(p0=jnp.asarray(p0), p0_init=make_p0_init(grid, o, p0))
+        st, _ = simulate(init_state(grid), o, src, cfg, n_steps=6)
+        return np.asarray(st.p)
+
+    p_full = run(ops_full)
+    p_c = run(ops_c)
+    np.testing.assert_allclose(p_c, p_full, atol=2e-5 * np.abs(p_full).max())
+
+
+def test_driver_matmul_fft_and_compact(tmp_path):
+    """run_simulation with matmul_fft/compact_operators forced on produces the same
+    p series as the default path (within fp32 transform noise)."""
+    import h5py
+
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io.input_file import InputData
+
+    nz, ny, nx = 256, 4, 8
+    dx = 1e-4
+    grid = Grid(nx=nx, ny=ny, nz=nz, dx=dx, dy=dx, dz=dx,
+                dt=0.3 * dx / 1600.0, nt=12)
+    rng = np.random.default_rng(2)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[nz // 2, ny // 2, nx // 2] = 1e5
+    mask = np.sort(rng.choice(grid.n_elements, 32, replace=False)).astype(np.int64)
+    c0 = (1500.0 + 100.0 * rng.random(grid.shape)).astype(np.float32)
+
+    def data():
+        return InputData(
+            grid=grid,
+            medium=Medium(c0=c0, rho0=1000.0, alpha_coeff=0.75, alpha_power=1.5),
+            absorbing=True,
+            nonlinear=False,
+            p0=p0,
+            sensor_mask_index=mask,
+            pml_size=(2, 2, 2),
+            pml_alpha=(2.0, 2.0, 2.0),
+        )
+
+    out_a = str(tmp_path / "a.h5")
+    out_b = str(tmp_path / "b.h5")
+    run_simulation(data(), RunConfig(flags=dict(p_raw=True), matmul_fft=False,
+                                     compact_operators=False), out_a)
+    run_simulation(data(), RunConfig(flags=dict(p_raw=True), matmul_fft=True,
+                                     compact_operators=True), out_b)
+    with h5py.File(out_a) as fa, h5py.File(out_b) as fb:
+        a = np.asarray(fa["p"])
+        b = np.asarray(fb["p"])
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())

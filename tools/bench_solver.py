@@ -35,7 +35,8 @@ from kwave_tpu.solver import (  # noqa: E402
 from kwave_tpu.streams import StreamSpec  # noqa: E402
 
 
-def setup(n: int):
+def setup(n: int, mxfft_on: bool = False, compact: bool = False,
+          p0init: bool = True):
     dx = 1e-4
     dt = 0.3 * dx / 1600.0
     grid = Grid(nx=n, ny=n, nz=n, dx=dx, dy=dx, dz=dx, dt=dt, nt=10_000)
@@ -43,15 +44,30 @@ def setup(n: int):
     c0 = (1500.0 + 100.0 * rng.random(grid.shape)).astype(np.float32)
     rho0 = (1000.0 + 50.0 * rng.random(grid.shape)).astype(np.float32)
     medium = Medium(c0=c0, rho0=rho0, alpha_coeff=0.75, alpha_power=1.5)
-    ops = make_operators(grid, medium, (10, 10, 10), (2.0,) * 3, absorbing=True)
+    ops = make_operators(grid, medium, (10, 10, 10), (2.0,) * 3, absorbing=True,
+                         compact=compact)
+    fft = None
+    if mxfft_on:
+        from kwave_tpu.ops import mxfft
+        from kwave_tpu.solver.step import FftOps
+
+        fwd, inv, perms = mxfft.make_fft_ops(grid.shape)
+        ops = mxfft.permute_operators(ops, 3, perms)
+        fft = FftOps(rfftn=fwd, irfftn=inv)
     ops = jax.tree_util.tree_map(jnp.asarray, ops)  # device-resident (see driver.py)
     cfg = SolverConfig(absorbing=True, p0_source_flag=True)
     p0 = np.zeros(grid.shape, np.float32)
     p0[n // 2, n // 2, n // 2] = 1e5
     from kwave_tpu.solver import make_p0_init
+    from kwave_tpu.solver.step import LOCAL_FFT
 
-    src = Sources(p0=jnp.asarray(p0), p0_init=make_p0_init(grid, ops, p0))
-    return grid, ops, cfg, src
+    src = Sources(
+        p0=jnp.asarray(p0),
+        # p0_init=None exercises the lax.cond fallback: no 7-field precomputed
+        # initial state resident in HBM (3.5 GB at 512^3)
+        p0_init=make_p0_init(grid, ops, p0, fft or LOCAL_FFT) if p0init else None,
+    )
+    return grid, ops, cfg, src, fft
 
 
 _PROBE = None
@@ -66,10 +82,13 @@ def probe(x) -> float:
     return float(_PROBE(x))
 
 
-def bench_plain(n: int, steps: int) -> float:
+def bench_plain(n: int, steps: int, mxfft_on: bool = False,
+                compact: bool = False, p0init: bool = True) -> float:
     """Seconds per iteration, solver only (non-sampling)."""
-    grid, ops, cfg, src = setup(n)
-    run = make_simulate_fn(ops, src, cfg, steps)  # ops/src closed over (axon-fast path)
+    grid, ops, cfg, src, fft = setup(n, mxfft_on, compact, p0init)
+    from kwave_tpu.solver.step import LOCAL_FFT
+
+    run = make_simulate_fn(ops, src, cfg, steps, fft=fft or LOCAL_FFT)
     state = init_state(grid)
     state, _ = run(state, jnp.int32(0))
     probe(state.p)
@@ -85,7 +104,7 @@ def bench_plain(n: int, steps: int) -> float:
 def bench_sampling(n: int, steps: int, n_sensors: int = 16384) -> float:
     """Seconds per iteration with index-mask sampling + compressed + raw p streams
     (the reference's sampling-iteration bucket)."""
-    grid, ops, cfg, src = setup(n)
+    grid, ops, cfg, src, fft = setup(n)
     basis = generate_basis(16.0, 1, 2, normalize=True)
     o = basis.o_size
     rng = np.random.default_rng(0)
@@ -114,18 +133,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="64,128,256")
     ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--mxfft", action="store_true",
+                    help="use the MXU matmul FFT (ops.mxfft) + compact operators")
+    ap.add_argument("--no-sampling", action="store_true",
+                    help="skip the sampling+encode benchmark leg")
+    ap.add_argument("--no-p0init", action="store_true",
+                    help="use the lax.cond initial-pressure path (memory-lean)")
     args = ap.parse_args()
-    print(f"backend: {jax.devices()}")
+    print(f"backend: {jax.devices()}  mxfft={args.mxfft}")
     for n in (int(s) for s in args.sizes.split(",")):
-        plain = bench_plain(n, args.steps)
-        samp = bench_sampling(n, args.steps)
+        plain = bench_plain(n, args.steps, mxfft_on=args.mxfft, compact=args.mxfft,
+                            p0init=not args.no_p0init)
         cells = n**3
-        print(
+        line = (
             f"  {n}^3: non-sampling {plain * 1e3:8.3f} ms/step "
-            f"({cells / plain / 1e9:6.2f} Gcell/s) | "
-            f"sampling+encode {samp * 1e3:8.3f} ms/step ({cells / samp / 1e9:6.2f} Gcell/s)",
-            flush=True,
+            f"({cells / plain / 1e9:6.2f} Gcell/s)"
         )
+        if not args.no_sampling:
+            samp = bench_sampling(n, args.steps)
+            line += (
+                f" | sampling+encode {samp * 1e3:8.3f} ms/step "
+                f"({cells / samp / 1e9:6.2f} Gcell/s)"
+            )
+        print(line, flush=True)
 
 
 if __name__ == "__main__":
