@@ -71,6 +71,9 @@ class RunConfig:
     # None = auto: on TPU, single-device, radix-supported grids with a >=256 axis
     # (where XLA's full-DFT-matmul FFT is the measured bottleneck, tools/bench_fft.py).
     matmul_fft: Optional[bool] = None
+    # mxfft matmul precision: "high" = 3-pass bf16 (~1e-6 relative per transform,
+    # ~2x faster MXU legs), "highest" = 6-pass full-fp32 emulation (~1e-7, cuFFT-like).
+    fft_precision: str = "high"
     # Regenerate radially-symmetric spectral operators / c0-derived media on device
     # instead of storing full 3D arrays (make_operators(compact=True)).
     # None = auto: grids >= 192^3 equivalent (saves ~2.3 GB resident at 512^3).
@@ -95,7 +98,9 @@ def detect_period(data: InputData, run: RunConfig) -> Optional[float]:
     return float(find_period(tail))
 
 
-def _gather_sources(state: SimState, ops, mask, wanted: list[str]):
+def _gather_sources(state: SimState, ops, mask, wanted: list[str], fft=None):
+    from kwave_tpu.solver.step import LOCAL_FFT
+
     row = {}
     shifted = None
     for src_name in wanted:
@@ -105,7 +110,7 @@ def _gather_sources(state: SimState, ops, mask, wanted: list[str]):
             row[src_name] = sample_index(getattr(state, src_name).reshape(-1), mask)
         elif src_name.endswith("_shifted"):
             if shifted is None:
-                shifted = shifted_velocity(state, ops)
+                shifted = shifted_velocity(state, ops, fft or LOCAL_FFT)
             ax = {"ux_shifted": 0, "uy_shifted": 1, "uz_shifted": 2}[src_name]
             row[src_name] = sample_index(shifted[ax].reshape(-1), mask)
     return row
@@ -172,7 +177,7 @@ def make_window_fn(
             def body(carry, i):
                 st, bufs, wd = carry
                 st = step(st, t0 + i, ops, src, cfg, fft)
-                rows = _gather_sources(st, ops, mask, wanted)
+                rows = _gather_sources(st, ops, mask, wanted, fft)
                 bufs = {
                     w: lax.dynamic_update_slice(bufs[w], rows[w][None, :], (i, 0))
                     for w in wanted
@@ -187,7 +192,7 @@ def make_window_fn(
             def body(carry, i):
                 st, wd = carry
                 st = step(st, t0 + i, ops, src, cfg, fft)
-                return (st, _fold_wd(wd, st)), _gather_sources(st, ops, mask, wanted)
+                return (st, _fold_wd(wd, st)), _gather_sources(st, ops, mask, wanted, fft)
 
             (sim2, wd), chunks = lax.scan(body, (sim_state, wd0), jnp.arange(steps))
 
@@ -350,9 +355,14 @@ def run_simulation(
             # once here so the solver pays zero runtime for the permutation.
             from kwave_tpu.solver.step import FftOps
 
-            rfftn_fn, irfftn_fn, ax_perms = mxfft_mod.make_fft_ops(grid.shape)
+            prec = {"high": lax.Precision.HIGH,
+                    "highest": lax.Precision.HIGHEST}[run.fft_precision]
+            rfftn_fn, irfftn_fn, ax_perms = mxfft_mod.make_fft_ops(
+                grid.shape, precision=prec
+            )
+            shift_fn = mxfft_mod.make_shift_ops(ops, len(grid.shape), precision=prec)
             ops = mxfft_mod.permute_operators(ops, len(grid.shape), ax_perms)
-            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn)
+            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn)
         ops = jax.tree_util.tree_map(jnp.asarray, ops)
     cfg = SolverConfig(
         nonlinear=data.nonlinear,

@@ -113,8 +113,15 @@ def _axis_einsum(ndim: int, axis: int) -> str:
     return f"{lhs},XY->{out}"
 
 
-def _cmatmul(re, im, m_re, m_im, sub: str, precision):
-    """(re + i*im) @ (m_re + i*m_im) as four real einsums (fp32 accumulate)."""
+def _cmatmul(re, im, mats, axis: int, precision):
+    """(re + i*im) @ (m_re + i*m_im) along `axis` as four real einsums.
+
+    (Measured on chip: a single einsum on a (re,im)-interleaved [2m, 2m] matrix is
+    flop-neutral but ~40% SLOWER end-to-end — the stride-2 interleave relayout costs
+    more than the saved operand reads. The four-einsum form keeps operands in their
+    natural layout and XLA fuses the combines.)"""
+    m_re, m_im = (jnp.asarray(mats[0]), jnp.asarray(mats[1]))
+    sub = _axis_einsum(re.ndim, axis)
     kw = dict(precision=precision, preferred_element_type=jnp.float32)
     o_re = jnp.einsum(sub, re, m_re, **kw) - jnp.einsum(sub, im, m_im, **kw)
     o_im = jnp.einsum(sub, re, m_im, **kw) + jnp.einsum(sub, im, m_re, **kw)
@@ -163,20 +170,14 @@ def _c2c_axis(re, im, axis: int, n: int, inverse: bool, precision):
             im = im.reshape(shape)
             kblk *= 2
             size = h
-        sub = _axis_einsum(ndim + 1, axis + 1)
         rb, ib = blocked(re, m), blocked(im, m)
-        o_re, o_im = _cmatmul(
-            rb, ib, jnp.asarray(fwd_mat[0]), jnp.asarray(fwd_mat[1]), sub, precision
-        )
+        o_re, o_im = _cmatmul(rb, ib, fwd_mat, axis + 1, precision)
         return o_re.reshape(shape), o_im.reshape(shape)
 
     # inverse: base inverse matmul on the finest blocks, then merge levels in reverse
     kblk = 2**levels
-    sub = _axis_einsum(ndim + 1, axis + 1)
     rb, ib = blocked(re, m), blocked(im, m)
-    re, im = _cmatmul(
-        rb, ib, jnp.asarray(inv_mat[0]), jnp.asarray(inv_mat[1]), sub, precision
-    )
+    re, im = _cmatmul(rb, ib, inv_mat, axis + 1, precision)
     re, im = re.reshape(shape), im.reshape(shape)
     size = m
     for lv in reversed(range(levels)):
@@ -253,6 +254,45 @@ def make_fft_ops(shape: tuple[int, ...],
         return _irfft_last(re, im, nx, precision)
 
     return rfftn, irfftn, perms
+
+
+def make_shift_matrix(n: int, shift_packed: np.ndarray) -> np.ndarray:
+    """Real [n, n] circulant applying irfft(shift * rfft(x)) along one axis as ONE
+    matmul (the half-cell staggered->regular shift of computeShiftedVelocity,
+    KSpaceFirstOrderSolver.cpp:2714-2735 — there: 3 batched 1D FFT pairs per sample
+    step). shift_packed is the [R, 2] (re, im) plane pair from operators.make_shift_neg.
+    """
+    f_re, f_im, c_re, c_im = _plan_r2c(n)
+    s_re = shift_packed[..., 0].astype(np.float64)
+    s_im = shift_packed[..., 1].astype(np.float64)
+    fr, fi = f_re.astype(np.float64), f_im.astype(np.float64)
+    cr, ci = c_re.astype(np.float64), c_im.astype(np.float64)
+    xr = fr * s_re[None, :] - fi * s_im[None, :]  # [n, R] spectrum rows per input j
+    xi = fr * s_im[None, :] + fi * s_re[None, :]
+    return (xr @ cr + xi @ ci).astype(np.float32)
+
+
+def make_shift_ops(ops, ndim: int, precision=lax.Precision.HIGHEST):
+    """Per-axis half-cell shift callable (u, axis) -> shifted, built from the
+    operator set's shift_*_neg vectors; None when the run needs no shifted velocity."""
+    if ops.shift_x_neg is None:
+        return None
+
+    def mat_for(vec):
+        v = np.asarray(vec)
+        n = (v.shape[0] - 1) * 2  # reduced axis: R = n//2+1 (even n — grid contract)
+        return make_shift_matrix(n, v)
+
+    mats = {ndim - 1: mat_for(ops.shift_x_neg), ndim - 2: mat_for(ops.shift_y_neg)}
+    if ndim == 3 and ops.shift_z_neg is not None:
+        mats[0] = mat_for(ops.shift_z_neg)
+    consts = {ax: jnp.asarray(m) for ax, m in mats.items()}
+
+    def shift_axis(u, axis: int):
+        return jnp.einsum(_axis_einsum(u.ndim, axis), u, consts[axis],
+                          precision=precision, preferred_element_type=jnp.float32)
+
+    return shift_axis
 
 
 def permute_operators(ops, ndim: int, perms: dict[int, np.ndarray]):

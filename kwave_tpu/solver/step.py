@@ -42,11 +42,15 @@ ADDITIVE = 2
 
 
 class FftOps(NamedTuple):
-    """Pluggable spectral transform pair: local jnp.fft by default; the distributed
-    pencil FFT (kwave_tpu.parallel.fft) for sharded multi-chip runs."""
+    """Pluggable spectral transform pair: local jnp.fft by default; the MXU matmul
+    FFT (kwave_tpu.ops.mxfft) on large single-chip grids; the distributed pencil FFT
+    (kwave_tpu.parallel.fft) for sharded multi-chip runs."""
 
     rfftn: Callable[[jax.Array], jax.Array]
     irfftn: Callable[[jax.Array, tuple[int, ...]], jax.Array]  # (xk, real_shape) -> x
+    # optional per-axis half-cell shift (u, axis) -> shifted; when set (mxfft mode)
+    # shifted_velocity uses one circulant matmul per axis instead of an rfft/irfft pair
+    shift_axis: Optional[Callable[[jax.Array, int], jax.Array]] = None
 
 
 LOCAL_FFT = FftOps(
@@ -408,11 +412,22 @@ def step(
     return new
 
 
-def shifted_velocity(state: SimState, ops: Operators):
+def shifted_velocity(state: SimState, ops: Operators, fft: FftOps = LOCAL_FFT):
     """Velocities shifted back onto the regular grid via per-axis spectral half-cell shifts
     (computeShiftedVelocity, KSpaceFirstOrderSolver.cpp:2714-2735: batched 1D FFT per axis x
-    x_shift_neg). Returns (ux_shifted, uy_shifted, uz_shifted|None)."""
+    x_shift_neg). Returns (ux_shifted, uy_shifted, uz_shifted|None).
+
+    With fft.shift_axis set (mxfft mode) each axis is one circulant matmul."""
     ndim = state.p.ndim
+    if fft.shift_axis is not None:
+        ux = fft.shift_axis(state.ux_sgx, ndim - 1)
+        uy = fft.shift_axis(state.uy_sgy, ndim - 2)
+        uz = (
+            fft.shift_axis(state.uz_sgz, 0)
+            if state.uz_sgz is not None and ops.shift_z_neg is not None
+            else None
+        )
+        return ux, uy, uz
 
     def shift(u, op_packed, axis):
         n = u.shape[axis]

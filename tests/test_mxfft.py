@@ -73,6 +73,55 @@ def test_spectral_multiply_equivalence():
     np.testing.assert_allclose(got, ref, atol=5e-5 * np.abs(ref).max())
 
 
+def test_shift_matmul_matches_fft_shift():
+    """make_shift_ops (circulant matmul per axis) reproduces shifted_velocity's
+    rfft/irfft half-cell shift."""
+    from kwave_tpu.solver.operators import make_shift_neg
+    from kwave_tpu.solver.step import FftOps, SimState, shifted_velocity
+
+    nz, ny, nx = 8, 16, 32
+    d = 1e-4
+    rng = np.random.default_rng(13)
+    u = {k: rng.standard_normal((nz, ny, nx)).astype(np.float32) for k in "xyz"}
+    state = SimState(
+        p=jnp.zeros((nz, ny, nx), jnp.float32),
+        ux_sgx=jnp.asarray(u["x"]), uy_sgy=jnp.asarray(u["y"]),
+        uz_sgz=jnp.asarray(u["z"]),
+        rho_x=None, rho_y=None, rho_z=None,
+    )
+
+    class _Ops:
+        shift_x_neg = make_shift_neg(nx, d, True)
+        shift_y_neg = make_shift_neg(ny, d, True)
+        shift_z_neg = make_shift_neg(nz, d, True)
+
+    ref = shifted_velocity(state, _Ops)
+    shift_fn = mxfft.make_shift_ops(_Ops, 3)
+    got = shifted_velocity(state, _Ops, FftOps(None, None, shift_fn))
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=2e-6 * np.abs(np.asarray(r)).max()
+        )
+
+
+def test_high_precision_error_bound():
+    """HIGH (3-pass bf16) matmul precision keeps per-transform error ~1e-6 relative —
+    the driver's default mxfft mode. Compared against float64 numpy on a realistic
+    pressure-scale field."""
+    shape = (256, 8, 32)
+    rng = np.random.default_rng(9)
+    x = (1e5 * rng.standard_normal(shape)).astype(np.float32)
+    fwd, inv, _ = mxfft.make_fft_ops(shape, precision=jax.lax.Precision.HIGH)
+    ref = np.fft.rfftn(x.astype(np.float64))
+    mine = np.asarray(jax.jit(fwd)(jnp.asarray(x)))
+    scale = np.abs(ref).max()
+    err = np.abs(mine - _ref_permuted(ref, shape)).max() / scale
+    assert err < 5e-6, err
+    y = np.asarray(jax.jit(lambda v: inv(fwd(v), shape))(jnp.asarray(x)))
+    rt = np.abs(y - x).max() / np.abs(x).max()
+    assert rt < 5e-6, rt
+
+
 def _het_setup(shape, compact=False):
     nz, ny, nx = shape
     dx = 1e-4

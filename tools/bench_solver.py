@@ -36,7 +36,7 @@ from kwave_tpu.streams import StreamSpec  # noqa: E402
 
 
 def setup(n: int, mxfft_on: bool = False, compact: bool = False,
-          p0init: bool = True):
+          p0init: bool = True, precision: str = "highest"):
     dx = 1e-4
     dt = 0.3 * dx / 1600.0
     grid = Grid(nx=n, ny=n, nz=n, dx=dx, dy=dx, dz=dx, dt=dt, nt=10_000)
@@ -51,7 +51,9 @@ def setup(n: int, mxfft_on: bool = False, compact: bool = False,
         from kwave_tpu.ops import mxfft
         from kwave_tpu.solver.step import FftOps
 
-        fwd, inv, perms = mxfft.make_fft_ops(grid.shape)
+        prec = {"high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[precision]
+        fwd, inv, perms = mxfft.make_fft_ops(grid.shape, precision=prec)
         ops = mxfft.permute_operators(ops, 3, perms)
         fft = FftOps(rfftn=fwd, irfftn=inv)
     ops = jax.tree_util.tree_map(jnp.asarray, ops)  # device-resident (see driver.py)
@@ -83,9 +85,10 @@ def probe(x) -> float:
 
 
 def bench_plain(n: int, steps: int, mxfft_on: bool = False,
-                compact: bool = False, p0init: bool = True) -> float:
+                compact: bool = False, p0init: bool = True,
+                precision: str = "highest") -> float:
     """Seconds per iteration, solver only (non-sampling)."""
-    grid, ops, cfg, src, fft = setup(n, mxfft_on, compact, p0init)
+    grid, ops, cfg, src, fft = setup(n, mxfft_on, compact, p0init, precision)
     from kwave_tpu.solver.step import LOCAL_FFT
 
     run = make_simulate_fn(ops, src, cfg, steps, fft=fft or LOCAL_FFT)
@@ -139,11 +142,13 @@ def main():
                     help="skip the sampling+encode benchmark leg")
     ap.add_argument("--no-p0init", action="store_true",
                     help="use the lax.cond initial-pressure path (memory-lean)")
+    ap.add_argument("--precision", default="highest", choices=["high", "highest"],
+                    help="mxfft matmul precision (high = 3-pass bf16, ~1e-6 rel)")
     args = ap.parse_args()
-    print(f"backend: {jax.devices()}  mxfft={args.mxfft}")
+    print(f"backend: {jax.devices()}  mxfft={args.mxfft} precision={args.precision}")
     for n in (int(s) for s in args.sizes.split(",")):
         plain = bench_plain(n, args.steps, mxfft_on=args.mxfft, compact=args.mxfft,
-                            p0init=not args.no_p0init)
+                            p0init=not args.no_p0init, precision=args.precision)
         cells = n**3
         line = (
             f"  {n}^3: non-sampling {plain * 1e3:8.3f} ms/step "
