@@ -104,10 +104,12 @@ def bench_plain(n: int, steps: int, mxfft_on: bool = False,
     return (time.perf_counter() - t0) / (steps * reps)
 
 
-def bench_sampling(n: int, steps: int, n_sensors: int = 16384) -> float:
+def bench_sampling(n: int, steps: int, n_sensors: int = 16384,
+                   mxfft_on: bool = False, compact: bool = False,
+                   precision: str = "highest") -> float:
     """Seconds per iteration with index-mask sampling + compressed + raw p streams
     (the reference's sampling-iteration bucket)."""
-    grid, ops, cfg, src, fft = setup(n)
+    grid, ops, cfg, src, fft = setup(n, mxfft_on, compact, precision=precision)
     basis = generate_basis(16.0, 1, 2, normalize=True)
     o = basis.o_size
     rng = np.random.default_rng(0)
@@ -116,7 +118,8 @@ def bench_sampling(n: int, steps: int, n_sensors: int = 16384) -> float:
     )
     specs = StreamSpec.from_flags(dict(p_raw=True, p_c=True, p_rms=True), True, False)
     ss = streams_mod.init_stream_states(specs, n_sensors, grid.n_elements, basis)
-    window = make_window_fn(specs, basis, cfg, o, n_sensors, ops=ops, src=src, mask=mask)
+    window = make_window_fn(specs, basis, cfg, o, n_sensors, ops=ops, src=src, mask=mask,
+                            fft=fft)
     state = init_state(grid)
     state, ss, em = window(state, ss, jnp.int32(0))  # compile
     probe(state.p)
@@ -155,7 +158,8 @@ def main():
             f"({cells / plain / 1e9:6.2f} Gcell/s)"
         )
         if not args.no_sampling:
-            samp = bench_sampling(n, args.steps)
+            samp = bench_sampling(n, args.steps, mxfft_on=args.mxfft,
+                                  compact=args.mxfft, precision=args.precision)
             line += (
                 f" | sampling+encode {samp * 1e3:8.3f} ms/step "
                 f"({cells / samp / 1e9:6.2f} Gcell/s)"
