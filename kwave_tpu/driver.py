@@ -652,11 +652,15 @@ def run_simulation(
             writer.flush_emissions(tail_emissions)  # raw rows; `c` entries are None
         t += rem
 
-    # tiny-record lastStep rule (IndexOutputStream.cpp:455-456): when the whole sampled
-    # record fits inside one overlap window (steps <= oSize), force-emit the partial
-    # frame so the Nc=1 compressed dataset is not left empty; the emitted frame also
-    # feeds the coefficient-space intensity accumulators (postSample, :313-337)
-    if basis is not None and 0 < sampled_steps <= o:
+    # tiny-record lastStep rule (IndexOutputStream.cpp:454-456): when the whole sampled
+    # record fits inside one overlap window, force-emit the partial frame so the Nc=1
+    # compressed dataset is not left empty; the emitted frame also feeds the
+    # coefficient-space intensity accumulators (postSample, :313-337). Strictly
+    # `< oSize`: at steps == oSize the saving boundary fires on the last step and the
+    # window loop already emitted — the reference's `mSavingFlag || lastStep` emits
+    # exactly once there, so a second partial here would double-count the frame
+    # (corrupting I*_avg_c) and mis-seed compressed_step.
+    if basis is not None and 0 < sampled_steps < o:
         from kwave_tpu import encoder as encoder_mod
 
         partial = {}

@@ -124,6 +124,116 @@ def test_tiny_record_overlap_partial_frame(tmp_path):
         assert np.abs(got).max() > 0
 
 
+@pytest.mark.parametrize("mode40", [False, True])
+def test_one_window_record_exact_boundary(tmp_path, mode40):
+    """nt == oSize with overlap (mos=2): the saving boundary fires at the last step, so
+    the frame is emitted exactly ONCE — `mSavingFlag || lastStep` in the reference
+    (IndexOutputStream.cpp:454-456) must not become a double emission here."""
+    data = _input(nt=20)
+    out = str(tmp_path / "out.h5")
+    # period 5 < 20 sampled steps, so overlap stays on; oSize = 5*2... use period 10,
+    # mos 2 -> oSize 20 == nt, period 10 < 20 keeps overlap on.
+    run = RunConfig(flags=dict(p_c=True), period=10.0, mos=2, harmonics=1,
+                    mode40=mode40)
+    run_simulation(data, run, out)
+    series = _reference_series(data)
+    cb = generate_basis(10.0, 2, 1, normalize=True)
+    frames, _ = encode_series_exact(jnp.asarray(series), cb, mode40=mode40,
+                                    overlap=True)
+    with h5py.File(out, "r") as f:
+        got = np.asarray(f["p_c"])[0]
+        assert got.shape[0] == 1  # Nc = max(floor(20/20), 1) = 1
+        if mode40:
+            from kwave_tpu.encoder import frames_to_flat_40b
+
+            expect = frames_to_flat_40b(*[np.asarray(a) for a in frames])
+            got_b = got.view(np.uint8).reshape(got.shape[0], -1)[0, : expect.shape[-1]]
+            np.testing.assert_array_equal(got_b, expect.reshape(-1))
+        else:
+            expect = frames_to_flat_float(np.asarray(frames[0]), np.asarray(frames[1]))
+            np.testing.assert_array_equal(got, expect.reshape(1, -1))
+        assert np.abs(got).max() > 0
+
+
+def test_one_window_no_overlap_boundary(tmp_path):
+    """nt == oSize with mos=1: degenerate-overlap auto-force (period >= Nt-s) switches to
+    no-overlap; the window-loop emission must be the only one (no bogus zero partial)."""
+    data = _input(nt=10)
+    out = str(tmp_path / "out.h5")
+    run = RunConfig(flags=dict(p_c=True), period=10.0, mos=1, harmonics=2)
+    run_simulation(data, run, out)
+    series = _reference_series(data)
+    cb = generate_basis(10.0, 1, 2, normalize=True)
+    frames, _ = encode_series_exact(jnp.asarray(series), cb, overlap=False)
+    with h5py.File(out, "r") as f:
+        got = np.asarray(f["p_c"])[0]
+        assert got.shape[0] == 1
+        expect = frames_to_flat_float(np.asarray(frames[0]), np.asarray(frames[1]))
+        np.testing.assert_array_equal(got, expect.reshape(1, -1))
+        assert np.abs(got).max() > 0
+
+
+def _reference_series_with_shifted(data):
+    """(p series, ux_shifted series) sampled at the mask, [T, N] each."""
+    from kwave_tpu.solver import shifted_velocity
+    from kwave_tpu.solver.step import LOCAL_FFT
+
+    grid = data.grid
+    ops = make_operators(grid, data.medium, data.pml_size, data.pml_alpha,
+                         need_shift=True)
+    cfg = SolverConfig(p0_source_flag=True)
+    src = Sources(p0=jnp.asarray(data.p0))
+    mask = jnp.asarray(data.sensor_mask_index.astype(np.int32))
+
+    def sample_fn(s):
+        sh = shifted_velocity(s, ops, LOCAL_FFT)
+        return (
+            sampling.sample_index(s.p.reshape(-1), mask),
+            sampling.sample_index(sh[0].reshape(-1), mask),
+        )
+
+    _, series = simulate(init_state(grid), ops, src, cfg, grid.nt, sample_fn=sample_fn)
+    return np.asarray(series[0]), np.asarray(series[1])
+
+
+@pytest.mark.parametrize("mode40", [False, True])
+def test_one_window_iavg_c_boundary(tmp_path, mode40):
+    """The round-2 double-emit repro (period=10, mos=2, nt == oSize == 20, p_c + I_avg_c):
+    Ix_avg_c was off by 55% because the tiny-record branch re-fed the frame into the
+    intensity accumulator. It must equal exactly one frame's sum_h Re(cP conj(cU))/2."""
+    from kwave_tpu.decoder import avg_intensity_frames
+
+    data = _input(nt=20)
+    out = str(tmp_path / "out.h5")
+    run = RunConfig(flags=dict(p_c=True), i_avg_c=True, period=10.0, mos=2,
+                    harmonics=1, mode40=mode40)
+    run_simulation(data, run, out)
+    p_series, ux_series = _reference_series_with_shifted(data)
+    cb = generate_basis(10.0, 2, 1, normalize=True)
+    if mode40:
+        from kwave_tpu.basis import MAX_EXP_P, MAX_EXP_U
+        from kwave_tpu import bitpack
+
+        pf, _ = encode_series_exact(jnp.asarray(p_series), cb, mode40=True,
+                                    overlap=True)
+        uf, _ = encode_series_exact(jnp.asarray(ux_series), cb, shifted=True,
+                                    mode40=True, overlap=True)
+        p_re, p_im = bitpack.decode40(pf[0][0], pf[1][0], pf[2][0], MAX_EXP_P)
+        u_re, u_im = bitpack.decode40(uf[0][0], uf[1][0], uf[2][0], MAX_EXP_U)
+        expect = np.asarray(avg_intensity_frames(p_re[None], p_im[None],
+                                                 u_re[None], u_im[None]))
+    else:
+        pf, _ = encode_series_exact(jnp.asarray(p_series), cb, overlap=True)
+        uf, _ = encode_series_exact(jnp.asarray(ux_series), cb, shifted=True,
+                                    overlap=True)
+        expect = np.asarray(avg_intensity_frames(pf[0], pf[1], uf[0], uf[1]))
+    with h5py.File(out, "r") as f:
+        got = np.asarray(f["Ix_avg_c"]).reshape(-1)
+    scale = np.abs(expect).max()
+    assert scale > 0
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6 * scale)
+
+
 def test_trailing_steps_feed_aggregates_and_accumulators(tmp_path):
     """nt not divisible by oSize: rms/max fold ALL sampled steps, and the compressed
     accumulators carry the trailing contribution (visible in the final checkpoint)."""
