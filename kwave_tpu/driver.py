@@ -71,9 +71,10 @@ class RunConfig:
     # None = auto: on TPU, single-device, radix-supported grids with a >=256 axis
     # (where XLA's full-DFT-matmul FFT is the measured bottleneck, tools/bench_fft.py).
     matmul_fft: Optional[bool] = None
-    # mxfft matmul precision: "high" = 3-pass bf16 (~1e-6 relative per transform,
-    # ~2x faster MXU legs), "highest" = 6-pass full-fp32 emulation (~1e-7, cuFFT-like).
-    fft_precision: str = "high"
+    # mxfft matmul precision: "highest" = 6-pass full-fp32 emulation (~1e-7 relative
+    # per transform, cuFFT-like — the default, matching the reference's fp32 path),
+    # "high" = 3-pass bf16 (~1e-6, ~2x faster MXU legs) as an explicit opt-in.
+    fft_precision: str = "highest"
     # Regenerate radially-symmetric spectral operators / c0-derived media on device
     # instead of storing full 3D arrays (make_operators(compact=True)).
     # None = auto: grids >= 192^3 equivalent (saves ~2.3 GB resident at 512^3).
@@ -324,6 +325,15 @@ def run_simulation(
     if compact is None:
         compact = grid.n_elements >= 192**3
     use_mxfft = run.matmul_fft
+    if use_mxfft and mesh is not None:
+        # the mesh path always runs the pencil-decomposed distributed FFT; an explicit
+        # matmul_fft request would otherwise be silently ignored
+        Logger.log(
+            Logger.BASIC,
+            "WARNING: matmul_fft=True is ignored on a device mesh "
+            "(the sharded path uses the pencil FFT)",
+        )
+        use_mxfft = False
     if use_mxfft is None:
         use_mxfft = (
             mesh is None
@@ -331,6 +341,11 @@ def run_simulation(
             and mxfft_mod.supported(grid.shape)
             and max(grid.shape) >= 256
         )
+        if use_mxfft:
+            Logger.log(
+                Logger.ADVANCED,
+                "  mxfft auto-enabled (matmul FFT, precision=%s)", run.fft_precision,
+            )
     ops = make_operators(
         grid, medium, data.pml_size, data.pml_alpha,
         absorbing=data.absorbing,
@@ -360,7 +375,7 @@ def run_simulation(
             rfftn_fn, irfftn_fn, ax_perms = mxfft_mod.make_fft_ops(
                 grid.shape, precision=prec
             )
-            shift_fn = mxfft_mod.make_shift_ops(ops, len(grid.shape), precision=prec)
+            shift_fn = mxfft_mod.make_shift_ops(ops, grid.shape, precision=prec)
             ops = mxfft_mod.permute_operators(ops, len(grid.shape), ax_perms)
             fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn)
         ops = jax.tree_util.tree_map(jnp.asarray, ops)

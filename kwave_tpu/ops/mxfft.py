@@ -272,20 +272,25 @@ def make_shift_matrix(n: int, shift_packed: np.ndarray) -> np.ndarray:
     return (xr @ cr + xi @ ci).astype(np.float32)
 
 
-def make_shift_ops(ops, ndim: int, precision=lax.Precision.HIGHEST):
+def make_shift_ops(ops, shape: tuple[int, ...], precision=lax.Precision.HIGHEST):
     """Per-axis half-cell shift callable (u, axis) -> shifted, built from the
-    operator set's shift_*_neg vectors; None when the run needs no shifted velocity."""
+    operator set's shift_*_neg vectors; None when the run needs no shifted velocity.
+
+    `shape` is the real-space grid shape: the true axis length cannot be inferred
+    from the packed [R, 2] vector ((R-1)*2 is wrong for odd axes, where R = (n+1)//2)."""
     if ops.shift_x_neg is None:
         return None
+    ndim = len(shape)
 
-    def mat_for(vec):
-        v = np.asarray(vec)
-        n = (v.shape[0] - 1) * 2  # reduced axis: R = n//2+1 (even n — grid contract)
-        return make_shift_matrix(n, v)
+    def mat_for(vec, n):
+        return make_shift_matrix(int(n), np.asarray(vec))
 
-    mats = {ndim - 1: mat_for(ops.shift_x_neg), ndim - 2: mat_for(ops.shift_y_neg)}
+    mats = {
+        ndim - 1: mat_for(ops.shift_x_neg, shape[-1]),
+        ndim - 2: mat_for(ops.shift_y_neg, shape[-2]),
+    }
     if ndim == 3 and ops.shift_z_neg is not None:
-        mats[0] = mat_for(ops.shift_z_neg)
+        mats[0] = mat_for(ops.shift_z_neg, shape[0])
     consts = {ax: jnp.asarray(m) for ax, m in mats.items()}
 
     def shift_axis(u, axis: int):

@@ -74,6 +74,34 @@ def test_sharded_encode_matches_unsharded(mesh):
     np.testing.assert_allclose(got_im, np.asarray(ref_im), rtol=1e-6, atol=1e-2)
 
 
+def test_compact_operators_on_mesh_match_full(mesh):
+    """compact=True (lazy per-step kappa/nabla/tau regeneration) under the pencil FFT's
+    sharded layout reproduces the precomputed-operator sharded step — validates the
+    driver's auto-compact on the multi-chip path (round-2 advisor finding)."""
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=12)
+    rng = np.random.default_rng(1)
+    c0 = (1500.0 + 50.0 * rng.random(grid.shape)).astype(np.float32)
+    medium = Medium(c0=c0, rho0=1000.0, alpha_coeff=0.5, alpha_power=1.5)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    cfg = SolverConfig(p0_source_flag=True, absorbing=True)
+    fft = pencil_fft(mesh, grid.nx)
+
+    def run(compact):
+        ops = make_operators(grid, medium, (4, 4, 4), (2.0,) * 3, absorbing=True,
+                             compact=compact)
+        ops_s = shard_operators(ops, 3, mesh, grid=grid, pencil=True)
+        state_s = shard_state(init_state(grid), mesh)
+        src_s = Sources(p0=jax.device_put(jnp.asarray(p0), state_s.p.sharding))
+        with mesh:
+            st, _ = simulate(state_s, ops_s, src_s, cfg, 10, fft=fft)
+        return np.asarray(st.p)
+
+    p_full = run(False)
+    p_compact = run(True)
+    np.testing.assert_allclose(p_compact, p_full, atol=3e-5 * np.abs(p_full).max())
+
+
 def test_run_simulation_on_mesh_matches_single(mesh, tmp_path):
     """The full driver on an 8-device mesh (z-sharded fields, pencil FFT, GSPMD rest)
     writes the same output file contents as the single-device run."""

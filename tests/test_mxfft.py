@@ -73,13 +73,15 @@ def test_spectral_multiply_equivalence():
     np.testing.assert_allclose(got, ref, atol=5e-5 * np.abs(ref).max())
 
 
-def test_shift_matmul_matches_fft_shift():
+@pytest.mark.parametrize("shape", [(8, 16, 32), (8, 15, 32), (9, 16, 25)])
+def test_shift_matmul_matches_fft_shift(shape):
     """make_shift_ops (circulant matmul per axis) reproduces shifted_velocity's
-    rfft/irfft half-cell shift."""
+    rfft/irfft half-cell shift — including odd axes, whose length cannot be
+    inferred from the packed [R, 2] vector (round-2 advisor finding)."""
     from kwave_tpu.solver.operators import make_shift_neg
     from kwave_tpu.solver.step import FftOps, SimState, shifted_velocity
 
-    nz, ny, nx = 8, 16, 32
+    nz, ny, nx = shape
     d = 1e-4
     rng = np.random.default_rng(13)
     u = {k: rng.standard_normal((nz, ny, nx)).astype(np.float32) for k in "xyz"}
@@ -96,7 +98,7 @@ def test_shift_matmul_matches_fft_shift():
         shift_z_neg = make_shift_neg(nz, d, True)
 
     ref = shifted_velocity(state, _Ops)
-    shift_fn = mxfft.make_shift_ops(_Ops, 3)
+    shift_fn = mxfft.make_shift_ops(_Ops, (nz, ny, nx))
     got = shifted_velocity(state, _Ops, FftOps(None, None, shift_fn))
     for g, r in zip(got, ref):
         np.testing.assert_allclose(
