@@ -20,6 +20,7 @@ OpenMP shift loops become single rfft/irfft expressions over the series.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -170,23 +171,39 @@ def q_term_from_intensity(
 # ---------------------------------------------------------------------------
 
 
-def _auto_block_size() -> int:
+def _auto_block_size(avail_bytes: Optional[int] = None) -> int:
     """I/O block size (float elements) from available host memory when --block_size is
     absent — the reference sizes its post-processing blocks from free host/device memory
     (KSpaceFirstOrderSolver::computeAverageIntensities, KSpaceFirstOrderSolver.cpp:
     1283-1307). Budget: 1/8 of MemAvailable, capped at 2 GB, floor 8M elements (32 MB) —
-    the working set holds a handful of same-sized blocks (p + u + fft temps)."""
-    avail_bytes = 2 << 30
-    try:
-        with open("/proc/meminfo") as f:
-            for line in f:
-                if line.startswith("MemAvailable:"):
-                    avail_bytes = int(line.split()[1]) * 1024
-                    break
-    except OSError:
-        pass
+    the working set holds a handful of same-sized blocks (p + u + fft temps).
+
+    `avail_bytes` overrides the /proc/meminfo probe (tests)."""
+    if avail_bytes is None:
+        avail_bytes = 2 << 30
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemAvailable:"):
+                        avail_bytes = int(line.split()[1]) * 1024
+                        break
+        except OSError:
+            pass
     budget = min(avail_bytes // 8, 2 << 30)
     return max(budget // 4, 8 << 20)
+
+
+def _cuboid_cx_from_row(row_floats: int, harmonics: int, complex_size: float) -> int:
+    """Geometric x extent from a packed coefficient x-row:
+    row_floats = ceil(cx * complex_size) * harmonics (CuboidOutputStream.cpp:668-675).
+    ceil(cx*cs) is strictly increasing in cx for cs >= 1, so the inverse is unique."""
+    nf_h = row_floats // harmonics
+    cx = int(nf_h / complex_size)
+    while math.ceil((cx + 1) * complex_size) <= nf_h:
+        cx += 1
+    while cx > 0 and math.ceil(cx * complex_size) > nf_h:
+        cx -= 1
+    return cx
 
 
 def post_process_output_file(
@@ -233,18 +250,18 @@ def post_process_output_file(
             grp = f[probe_name]
             keys = sorted(grp.keys(), key=int)
             first = grp[keys[0]]
-            vpp = 1
             if from_coeffs:
-                if float(first.attrs["c_complex_size"]) != 2.0:
-                    raise NotImplementedError(
-                        "cuboid-layout 40-bit coefficient post-processing is not "
-                        "supported (the reference cannot post-process coefficients in "
-                        "40-bit mode at all, KSpaceFirstOrderSolver.cpp:1541; index-mask "
-                        "40-bit post IS supported here)")
-                vpp = 2 * int(first.attrs["c_harmonics"])
-            cuboid_shapes = [
-                (grp[k].shape[1], grp[k].shape[2], grp[k].shape[3] // vpp) for k in keys
-            ]
+                h_a = int(first.attrs["c_harmonics"])
+                cs_a = float(first.attrs["c_complex_size"])
+                cuboid_shapes = [
+                    (grp[k].shape[1], grp[k].shape[2],
+                     _cuboid_cx_from_row(grp[k].shape[3], h_a, cs_a))
+                    for k in keys
+                ]
+            else:
+                cuboid_shapes = [
+                    (grp[k].shape[1], grp[k].shape[2], grp[k].shape[3]) for k in keys
+                ]
 
         def read_rows(name, lo, hi):
             """Rows [lo:hi) as [n, Npts*values_per_point] in linearized point order."""
@@ -292,20 +309,44 @@ def post_process_output_file(
 
             def load_coeffs(name, lo, hi):
                 """Frame rows [lo:hi) of a `*_c` dataset/group -> (re, im) [hi-lo, N, H].
-                Handles both 64-bit interleaved floats and (index layout) the packed
-                40-bit rows — the reference's post path cannot post-process 40-bit at
-                all, note :1541; here the integer unpack is exact on any backend."""
-                rows = read_rows(name, lo, hi)  # [blk, mSize]
+                Handles 64-bit interleaved floats and packed 40-bit rows in both index
+                and cuboid layouts — the reference's post path cannot post-process
+                40-bit at all, note :1541; here the integer unpack is exact on any
+                backend."""
+                from kwave_tpu import bitpack
+                from kwave_tpu.oracle import bytes_to_soa
+
                 attrs = coeff_attrs(name)
                 h_ = int(attrs["c_harmonics"])
                 cs = float(attrs["c_complex_size"])
+                if is_cuboid and cs != 2.0:
+                    # 40-bit cuboid rows: per-(z,y) x-rows are PADDED to
+                    # ceil(cx*1.25)*H floats, so the generic flatten would smear the
+                    # 5-byte fields across padding — strip padding per cuboid first
+                    e = int(attrs["c_max_exp"])
+                    obj = f[name]
+                    parts = ([], [], [])
+                    for k, (cz, cy, cx) in zip(sorted(obj.keys(), key=int),
+                                               cuboid_shapes):
+                        d = np.ascontiguousarray(obj[k][lo:hi])  # [blk, cz, cy, nf]
+                        blk_n = d.shape[0]
+                        bpr = 5 * cx * h_
+                        by = d.reshape(blk_n, cz, cy, -1).view(np.uint8)[..., :bpr]
+                        soa = bytes_to_soa(np.ascontiguousarray(by).reshape(-1))
+                        for acc, plane in zip(parts, soa):
+                            acc.append(plane.reshape(blk_n, cz * cy * cx, h_))
+                    hdr, mr, mi = (np.concatenate(p, axis=1) for p in parts)
+                    re, im = bitpack.decode40(
+                        jnp.asarray(hdr.astype(np.uint32)),
+                        jnp.asarray(mr.astype(np.uint32)),
+                        jnp.asarray(mi.astype(np.uint32)), e,
+                    )
+                    return np.asarray(re), np.asarray(im)
+                rows = read_rows(name, lo, hi)  # [blk, mSize]
                 if cs == 2.0:
                     n_ = rows.shape[1] // (2 * h_)
                     c = rows.reshape(rows.shape[0], n_, h_, 2)
                     return c[..., 0], c[..., 1]
-                from kwave_tpu import bitpack
-                from kwave_tpu.oracle import bytes_to_soa
-
                 e = int(attrs["c_max_exp"])
                 n_ = int(rows.shape[1] / (cs * h_))
                 raw = rows.view(np.uint8)[:, : 5 * n_ * h_]
@@ -319,7 +360,7 @@ def post_process_output_file(
                 return np.asarray(re), np.asarray(im)
 
             n_frames, m_size = series_dims("p" + dn.COMPRESS_SUFFIX)
-            blk = n_frames if block_size is None else max(1, block_size // max(m_size, 1))
+            blk = max(1, block_size // max(m_size, 1))
             acc = {a: None for a in axes}
             for lo in range(0, n_frames, blk):
                 hi = min(lo + blk, n_frames)
@@ -337,27 +378,36 @@ def post_process_output_file(
             }
         else:
             t_steps, n_sens = series_dims(dn.P)
-            if is_cuboid:
-                # point-blocking would split cuboid rows; time blocks don't work (the
-                # half-step shift needs the full time axis), so block over whole cuboids
-                blk = n_sens
-            else:
-                blk = (n_sens if block_size is None
-                       else max(1, block_size // max(t_steps, 1)))
             intensities = {a: np.empty(n_sens, np.float32) for a in axes}
-            for lo in range(0, n_sens, blk):
-                hi = min(lo + blk, n_sens)
-                if is_cuboid:
-                    p = jnp.asarray(read_rows(dn.P, 0, t_steps)[:, lo:hi])
-                else:
+            if is_cuboid:
+                # time blocks don't work (the half-step shift needs the full time axis
+                # per point); block per cuboid over z slabs — points within a z slab
+                # are contiguous in the linearized order, so each (p, u) block pair is
+                # one bounded hyperslab read
+                off = 0
+                for k, (cz, cy, cx) in zip(sorted(f[dn.P].keys(), key=int),
+                                           cuboid_shapes):
+                    blk_z = max(1, block_size // max(t_steps * cy * cx, 1))
+                    for z0 in range(0, cz, blk_z):
+                        z1 = min(z0 + blk_z, cz)
+                        lo = off + z0 * cy * cx
+                        hi = off + z1 * cy * cx
+                        p = jnp.asarray(
+                            np.asarray(f[dn.P][k][:, z0:z1]).reshape(t_steps, -1))
+                        for a in axes:
+                            u = jnp.asarray(
+                                np.asarray(f[f"u{a}_non_staggered"][k][:, z0:z1])
+                                .reshape(t_steps, -1))
+                            intensities[a][lo:hi] = np.asarray(avg_intensity_raw(p, u))
+                    off += cz * cy * cx
+            else:
+                blk = max(1, block_size // max(t_steps, 1))
+                for lo in range(0, n_sens, blk):
+                    hi = min(lo + blk, n_sens)
                     p = jnp.asarray(f[dn.P][0, :, lo:hi])  # [T, blk]
-                for a in axes:
-                    if is_cuboid:
-                        u = jnp.asarray(
-                            read_rows(f"u{a}_non_staggered", 0, t_steps)[:, lo:hi])
-                    else:
+                    for a in axes:
                         u = jnp.asarray(f[f"u{a}_non_staggered"][0, :, lo:hi])
-                    intensities[a][lo:hi] = np.asarray(avg_intensity_raw(p, u))
+                        intensities[a][lo:hi] = np.asarray(avg_intensity_raw(p, u))
 
         if want_i_avg:
             for a in axes:

@@ -596,7 +596,12 @@ class StreamWriter:
                     self.rows[name] += 1
 
     def _write_cuboid_40b(self, grp, flat_bytes: np.ndarray, row0: int) -> None:
-        """One 40-bit frame into per-cuboid datasets: each point contributes 5*H bytes."""
+        """One 40-bit frame into per-cuboid datasets: each point contributes 5*H bytes.
+
+        O(#cuboids) host work per frame: the packed run is laid into the padded
+        per-(z,y) x-rows with one strided byte-view assignment per cuboid (no
+        per-row Python loop — CuboidOutputStream.cpp:400-533's serial point loop
+        has no place on the host side here)."""
         h = self.basis.harmonics
         off_pts = 0
         for ci, (cx, cy, cz) in enumerate(self.cuboid_shapes):
@@ -609,11 +614,10 @@ class StreamWriter:
             # row-x size in floats: ceil(cx*1.25)*h per (y,z); bytes per x-row: 5*cx*h
             out = np.zeros(ds.shape[1:], np.float32)
             bpr = 5 * cx * h
-            run = byte_run.reshape(cz, cy, bpr)
-            flat_view = out.reshape(cz, cy, -1)
-            for z in range(cz):
-                for y in range(cy):
-                    flat_view[z, y].view(np.uint8)[:bpr] = run[z, y]
+            # [cz, cy, floats*4] byte view of the padded rows; fill the used prefix
+            out.reshape(cz, cy, -1).view(np.uint8)[:, :, :bpr] = byte_run.reshape(
+                cz, cy, bpr
+            )
             ds[row0, ...] = out
             off_pts += npts
 

@@ -133,6 +133,102 @@ def test_block_size_matches_unblocked(tmp_path):
             np.testing.assert_allclose(got, v, rtol=1e-5, atol=1e-8, err_msg=k)
 
 
+def test_auto_block_size_computation():
+    """Block-size derivation from available memory (the reference's free-memory sizing,
+    KSpaceFirstOrderSolver.cpp:1283-1307): 1/8 of available, /4 per concurrent buffer,
+    2 GB cap, 8M-element floor."""
+    from kwave_tpu.postproc import _auto_block_size
+
+    gib = 1 << 30
+    assert _auto_block_size(avail_bytes=64 * gib) == (2 * gib) // 4  # capped at 2 GB
+    assert _auto_block_size(avail_bytes=8 * gib) == (gib // 4)  # 1/8 * 8GiB / 4
+    assert _auto_block_size(avail_bytes=0) == 8 << 20  # floor
+    # the default probe path returns something sane
+    assert _auto_block_size() >= 8 << 20
+
+
+def test_cuboid_cx_inverse():
+    """_cuboid_cx_from_row inverts ceil(cx*complex_size)*h for every cx/h/width combo."""
+    import math as m
+
+    from kwave_tpu.postproc import _cuboid_cx_from_row
+
+    for cs in (1.25, 2.0):
+        for h in (1, 2, 4):
+            for cx in range(1, 70):
+                row = m.ceil(cx * cs) * h
+                assert _cuboid_cx_from_row(row, h, cs) == cx, (cs, h, cx)
+
+
+def test_i_avg_c_post_cuboid_40bit(tmp_path):
+    """--post coefficient-space intensity from CUBOID-layout 40-bit streams (beyond the
+    reference, which cannot post-process 40-bit at all — note :1541, and a round-2 gap
+    here): must agree with the equivalent index-mask 40-bit post run on the same points."""
+    from kwave_tpu.driver import _corners_to_indices
+    from kwave_tpu.postproc import post_process_output_file
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=60)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    corners = np.array([[2, 3, 4, 6, 6, 7], [9, 9, 9, 12, 10, 9]])  # cx=5 pads 40-bit rows
+    base = dict(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+                pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3, p0=p0)
+    run = RunConfig(flags=dict(p_c=True, u_non_staggered_c=True),
+                    period=10.0, harmonics=2, mode40=True)
+
+    out_c = str(tmp_path / "cuboid.h5")
+    run_simulation(InputData(sensor_mask_corners=corners, **base), run, out_c)
+    mask = _corners_to_indices(corners, grid)
+    out_i = str(tmp_path / "index.h5")
+    run_simulation(InputData(sensor_mask_index=mask, **base), run, out_i)
+
+    post_process_output_file(out_c, grid, mask, want_i_avg=True, want_q_term=False,
+                             from_coeffs=True)
+    post_process_output_file(out_i, grid, mask, want_i_avg=True, want_q_term=False,
+                             from_coeffs=True, block_size=100)  # tiny blocks too
+    with h5py.File(out_c) as fc, h5py.File(out_i) as fi:
+        for a in ("x", "y", "z"):
+            grp = fc[f"I{a}_avg_c"]
+            assert isinstance(grp, h5py.Group)
+            got = np.concatenate([np.asarray(grp[k]).reshape(-1)
+                                  for k in sorted(grp.keys(), key=int)])
+            want = np.asarray(fi[f"I{a}_avg_c"]).reshape(-1)
+            assert np.abs(want).max() > 0
+            np.testing.assert_array_equal(got, want, err_msg=a)
+
+
+def test_i_avg_post_cuboid_blocked_raw(tmp_path):
+    """Raw-mode cuboid --post with a tiny block_size (z-slab hyperslab reads) equals the
+    unblocked result."""
+    from kwave_tpu.driver import _corners_to_indices
+    from kwave_tpu.postproc import post_process_output_file
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=60)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    corners = np.array([[2, 3, 4, 6, 6, 9], [9, 9, 9, 12, 10, 9]])
+    base = dict(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+                pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3, p0=p0)
+    run = RunConfig(flags=dict(p_raw=True, u_non_staggered_raw=True))
+    out = str(tmp_path / "cuboid.h5")
+    run_simulation(InputData(sensor_mask_corners=corners, **base), run, out)
+    mask = _corners_to_indices(corners, grid)
+
+    post_process_output_file(out, grid, mask, want_i_avg=True, want_q_term=False)
+    with h5py.File(out) as f:
+        ref = {a: np.concatenate([np.asarray(f[f"I{a}_avg"][k]).reshape(-1)
+                                  for k in sorted(f[f"I{a}_avg"].keys(), key=int)])
+               for a in ("x", "y", "z")}
+    # force 1-z-slab blocks: block_size < T*cy*cx of the smallest cuboid
+    post_process_output_file(out, grid, mask, want_i_avg=True, want_q_term=False,
+                             block_size=200)
+    with h5py.File(out) as f:
+        for a in ("x", "y", "z"):
+            got = np.concatenate([np.asarray(f[f"I{a}_avg"][k]).reshape(-1)
+                                  for k in sorted(f[f"I{a}_avg"].keys(), key=int)])
+            np.testing.assert_array_equal(got, ref[a], err_msg=a)
+
+
 def test_i_avg_and_q_term_cuboid_layout(tmp_path):
     """--post on a cuboid-mask run: series live in per-cuboid HDF5 groups; intensity and
     Q-term results must come back in the same per-cuboid layout and agree with an
