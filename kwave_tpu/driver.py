@@ -489,44 +489,56 @@ def run_simulation(
 
     if ck is not None:
         # reopen output RW and seek streams (reference recovery,
-        # KSpaceFirstOrderSolver.cpp:186-228)
+        # KSpaceFirstOrderSolver.cpp:186-228). Multi-process: every process restores
+        # the IDENTICAL stream state (the encoder accumulators and aggregate buffers
+        # feed collective computation and must agree across ranks), so the checkpoint
+        # and output files must be visible on every host — the reference's
+        # single-filesystem assumption generalized (shared FS / GCS on real pods).
+        # Only process 0 holds the RW writer handle; other ranks read without taking
+        # the HDF5 file lock so the writer's r+ open can proceed concurrently.
         import h5py
 
-        if multiproc:
-            raise NotImplementedError(
-                "checkpoint resume under multi-process execution is not wired yet; "
-                "resume single-process or per-leg"
-            )
         sampled_done = max(t0 - run.sampling_start, 0)
-        f = h5py.File(output_path, "r+")
+        if is_writer:
+            f = h5py.File(output_path, "r+")
+            f_read = f
+        else:
+            f = None
+            f_read = h5py.File(output_path, "r", locking=False)
         # the output file must belong to the same (interrupted) run: its raw datasets
         # are sized for the full record and must cover the rows already produced
         # (reference recovery consistency, KSpaceFirstOrderSolver.cpp:189-228)
         for s in specs:
             if s.op == "raw" and s.save and cuboid_shapes is None:
-                if s.name not in f:
+                if s.name not in f_read:
                     raise ValueError(
                         f"output file {output_path!r} lacks dataset {s.name!r} "
                         "expected by the checkpointed run"
                     )
-                rows_total = f[s.name].shape[1]
+                rows_total = f_read[s.name].shape[1]
                 if rows_total != sampled_steps or sampled_done > rows_total:
                     raise ValueError(
                         f"output dataset {s.name!r} has {rows_total} rows but the "
                         f"checkpoint expects {sampled_steps} total "
                         f"({sampled_done} done) — output/checkpoint mismatch"
                     )
-        writer = StreamWriter(
-            f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
-            run.compression_level, reopen=True, rows_done=sampled_done,
-            cuboid_shapes=cuboid_shapes, field_shape=grid.shape,
+        writer = (
+            StreamWriter(
+                f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
+                run.compression_level, reopen=True, rows_done=sampled_done,
+                cuboid_shapes=cuboid_shapes, field_shape=grid.shape,
+            )
+            if is_writer else None
         )
         stream_states = streams_mod.restore_stream_states(
             stream_states, ck["stream_coeffs"], specs, sampled_done, o
         )
         stream_states = streams_mod.restore_aggregates_from_file(
-            stream_states, specs, f, sampled_done
+            stream_states, specs, f_read, sampled_done
         )
+        timers.restore_cumulated(read_cumulated_times(f_read))
+        if not is_writer:
+            f_read.close()
     elif is_writer:
         f = create_output_file(output_path)
         writer = StreamWriter(
@@ -536,8 +548,6 @@ def run_simulation(
     else:  # non-writer process: full compute, no file
         f = None
         writer = None
-    if ck is not None:
-        timers.restore_cumulated(read_cumulated_times(f))
     window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
                             ops=ops, src=src, mask=mask, fft=fft)
     # simulation header (the reference's verbose run summary, printed by Logger at the

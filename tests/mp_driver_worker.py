@@ -6,7 +6,12 @@ GSPMD stream processing, and the process-0 writer gathering every emission over 
 jax.distributed allgather (driver._host / parallel.distributed.fetch_global) — the
 multi-host generalization of the reference's single-writer HDF5 flush.
 
-Usage: python tests/mp_driver_worker.py <rank> <nprocs> <port> <out_h5>
+Usage: python tests/mp_driver_worker.py <rank> <nprocs> <port> <out_h5> [mode]
+
+mode "single" (default): one uninterrupted run.
+mode "legs": interrupted two-leg run — leg 1 checkpoints mid-record, leg 2 resumes
+from the checkpoint (multi-process recovery, the distributed generalization of the
+reference's multi-leg main.cpp:147-169).
 """
 
 import os
@@ -49,6 +54,7 @@ def build_input():
 
 def main() -> int:
     rank, nprocs, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "single"
 
     from kwave_tpu.parallel import make_mesh
     from kwave_tpu.parallel.distributed import initialize
@@ -61,11 +67,18 @@ def main() -> int:
 
     mesh = make_mesh()  # all 4 global devices
     data = build_input()
-    run = RunConfig(
-        flags=dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True),
-        period=10.0, harmonics=2,
-    )
-    summary = run_simulation(data, run, out, mesh=mesh)
+    flags = dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True)
+    if mode == "legs":
+        ckpt = out + ".ckpt.h5"
+        run1 = RunConfig(flags=flags, period=10.0, harmonics=2,
+                         checkpoint_file=ckpt, checkpoint_interval_steps=20)
+        summary1 = run_simulation(data, run1, out, mesh=mesh)
+        assert summary1.get("__checkpointed_at__") == (20,), summary1
+        run2 = RunConfig(flags=flags, period=10.0, harmonics=2)
+        summary = run_simulation(data, run2, out, mesh=mesh, resume_from=ckpt)
+    else:
+        run = RunConfig(flags=flags, period=10.0, harmonics=2)
+        summary = run_simulation(data, run, out, mesh=mesh)
     if rank == 0:
         assert "p_c" in summary, summary
     else:

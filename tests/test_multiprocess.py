@@ -125,3 +125,57 @@ def test_two_process_full_driver(tmp_path):
             scale = max(np.abs(b).max(), 1e-30)
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6 * scale,
                                        err_msg=name)
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-process recovery: a 2-process run interrupted at t=20 and resumed from the
+    checkpoint produces BYTE-IDENTICAL output to an uninterrupted single-process run on
+    an identical 4-device mesh (same partitioning -> same numerics; the resume restores
+    encoder accumulators and aggregates on every rank)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "mp_driver_worker.py")
+    port = _free_port()
+    out = str(tmp_path / "mp_legs.h5")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(r), "2", str(port), out, "legs"],
+            env=env, cwd=root, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            so, se = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed resume workers timed out")
+        outs.append((p.returncode, so, se))
+    for rc, so, se in outs:
+        assert rc == 0, (so[-500:], se[-3000:])
+
+    import h5py
+
+    from tests.mp_driver_worker import build_input
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.parallel import make_mesh
+
+    data = build_input()
+    ref = str(tmp_path / "ref_uninterrupted.h5")
+    run_simulation(
+        data,
+        RunConfig(flags=dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True),
+                  period=10.0, harmonics=2),
+        ref,
+        mesh=make_mesh(4),
+    )
+    with h5py.File(out, "r") as fa, h5py.File(ref, "r") as fb:
+        for name in ("p", "p_c", "p_rms", "p_max_all"):
+            a = np.asarray(fa[name])
+            b = np.asarray(fb[name])
+            assert a.shape == b.shape, name
+            np.testing.assert_array_equal(a, b, err_msg=name)
