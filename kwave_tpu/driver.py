@@ -377,7 +377,8 @@ def run_simulation(
             )
             shift_fn = mxfft_mod.make_shift_ops(ops, grid.shape, precision=prec)
             ops = mxfft_mod.permute_operators(ops, len(grid.shape), ax_perms)
-            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn)
+            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn,
+                         batched=True)
         ops = jax.tree_util.tree_map(jnp.asarray, ops)
     cfg = SolverConfig(
         nonlinear=data.nonlinear,

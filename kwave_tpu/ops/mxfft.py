@@ -107,7 +107,7 @@ def _plan_r2c(n: int):
 
 def _axis_einsum(ndim: int, axis: int) -> str:
     """Contraction over `axis` with the result staying in place: 'aXc,XY->aYc'."""
-    letters = "abcd"[:ndim]
+    letters = "abcdef"[:ndim]
     lhs = letters[:axis] + "X" + letters[axis + 1 :]
     out = letters[:axis] + "Y" + letters[axis + 1 :]
     return f"{lhs},XY->{out}"
@@ -235,6 +235,11 @@ def make_fft_ops(shape: tuple[int, ...],
     jnp.fft.rfftn's, but with each NON-minor axis in `perm(n)` bin order; `perms`
     maps axis index -> the bin-order vector (canonical minor axis excluded).
     Feed `perms` to `permute_operators` so spectral operators line up.
+
+    Both transforms are BATCH-TRANSPARENT: an input with extra leading axes is
+    treated as a stack of grids, and all the base-DFT einsums run at the full
+    stacked batch (the step() batching of the 3 velocity-gradient transforms
+    rides this).
     """
     ndim = len(shape)
     nx = shape[-1]
@@ -242,15 +247,17 @@ def make_fft_ops(shape: tuple[int, ...],
     perms = {ax: perm(int(shape[ax])) for ax in other_axes}
 
     def rfftn(x):
+        off = x.ndim - ndim
         re, im = _rfft_last(x, nx, precision)
         for ax in other_axes:
-            re, im = _c2c_axis(re, im, ax, int(shape[ax]), False, precision)
+            re, im = _c2c_axis(re, im, ax + off, int(shape[ax]), False, precision)
         return lax.complex(re, im)
 
     def irfftn(xk, s):
+        off = xk.ndim - ndim
         re, im = jnp.real(xk), jnp.imag(xk)
         for ax in other_axes:
-            re, im = _c2c_axis(re, im, ax, int(shape[ax]), True, precision)
+            re, im = _c2c_axis(re, im, ax + off, int(shape[ax]), True, precision)
         return _irfft_last(re, im, nx, precision)
 
     return rfftn, irfftn, perms

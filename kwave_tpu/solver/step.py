@@ -51,6 +51,12 @@ class FftOps(NamedTuple):
     # optional per-axis half-cell shift (u, axis) -> shifted; when set (mxfft mode)
     # shifted_velocity uses one circulant matmul per axis instead of an rfft/irfft pair
     shift_axis: Optional[Callable[[jax.Array, int], jax.Array]] = None
+    # True when rfftn/irfftn are batch-transparent (extra leading axes treated as a
+    # stack of grids — mxfft.make_fft_ops). step() then runs the 3 velocity-gradient
+    # transforms and the absorbing pair as ONE stacked transform each, tripling the
+    # base-DFT matmul batch (VERDICT r2 #8; the reference batches the same transforms
+    # through one cuFFT many-plan, CufftComplexMatrix.cpp:172-271).
+    batched: bool = False
 
 
 LOCAL_FFT = FftOps(
@@ -213,6 +219,26 @@ def _tau_eta_op(ops: Operators):
     return tau, eta
 
 
+def _rfftn_multi(fft: FftOps, fields: list, grid_ndim: int) -> list:
+    """Forward-transform several same-shape real fields; one stacked batched
+    transform when the backend is batch-transparent (mxfft — the base-DFT matmuls
+    then run at the full stacked batch), else per-field calls (jnp.fft keeps the
+    reference-matching per-field numerics; the pencil FFT's all-to-alls pipeline
+    better unbatched)."""
+    if fft.batched:
+        fk = fft.rfftn(jnp.stack(fields))
+        return [fk[i] for i in range(len(fields))]
+    return [fft.rfftn(f) for f in fields]
+
+
+def _irfftn_multi(fft: FftOps, spectra: list, shape) -> list:
+    """Inverse counterpart of _rfftn_multi."""
+    if fft.batched:
+        x = fft.irfftn(jnp.stack(spectra), shape)
+        return [x[i] for i in range(len(spectra))]
+    return [fft.irfftn(s, shape) for s in spectra]
+
+
 def _grad_fields(field: jax.Array, ops: Operators, ddx, ddy, ddz, shape,
                  fft: FftOps = LOCAL_FFT):
     """ifftn(dd*_k_shift * kappa * fftn(field)) for each axis — the shared pattern of
@@ -224,10 +250,11 @@ def _grad_fields(field: jax.Array, ops: Operators, ddx, ddy, ddz, shape,
     ndim = field.ndim
     fk = fft.rfftn(field)
     fk = fk * _kappa(ops, ndim)
-    gx = fft.irfftn(fk * _bc(cvec(ddx), 0, ndim), shape)
-    gy = fft.irfftn(fk * _bc(cvec(ddy), 1, ndim), shape)
-    gz = fft.irfftn(fk * _bc(cvec(ddz), 2, ndim), shape) if ddz is not None else None
-    return gx, gy, gz
+    specs = [fk * _bc(cvec(ddx), 0, ndim), fk * _bc(cvec(ddy), 1, ndim)]
+    if ddz is not None:
+        specs.append(fk * _bc(cvec(ddz), 2, ndim))
+    grads = _irfftn_multi(fft, specs, shape)
+    return grads[0], grads[1], (grads[2] if ddz is not None else None)
 
 
 def _source_value(signal: jax.Array, t, many: bool, n: int) -> jax.Array:
@@ -318,10 +345,15 @@ def step(
     # -- velocity gradient (computeVelocityGradient :2126-2150): per-axis
     # duxdx = ifft(ddx_neg * kappa * fft(ux)) etc.
     kap = _kappa(ops, ndim)
-    duxdx = fft.irfftn(fft.rfftn(ux) * kap * _bc(cvec(ops.ddx_neg), 0, ndim), shape)
-    duydy = fft.irfftn(fft.rfftn(uy) * kap * _bc(cvec(ops.ddy_neg), 1, ndim), shape)
+    u_fks = _rfftn_multi(fft, [ux, uy] + ([uz] if is3d else []), ndim)
+    du_specs = [u_fks[0] * kap * _bc(cvec(ops.ddx_neg), 0, ndim),
+                u_fks[1] * kap * _bc(cvec(ops.ddy_neg), 1, ndim)]
     if is3d:
-        duzdz = fft.irfftn(fft.rfftn(uz) * kap * _bc(cvec(ops.ddz_neg), 2, ndim), shape)
+        du_specs.append(u_fks[2] * kap * _bc(cvec(ops.ddz_neg), 2, ndim))
+    du = _irfftn_multi(fft, du_specs, shape)
+    duxdx, duydy = du[0], du[1]
+    if is3d:
+        duzdz = du[2]
     # non-uniform grid: scale gradients by the stretch maps (the nonuniform variant of
     # cudaComputeVelocityGradient — MATLAB duxdx = dxudxn .* real(ifft(...)))
     if ops.dxudxn is not None:
@@ -375,8 +407,9 @@ def step(
         nabla1, nabla2 = _absorb_nablas(ops, ndim)
         tau, eta = _tau_eta_op(ops)
         vel_grad_sum = ops.rho0 * du_sum
-        tau_term = fft.irfftn(fft.rfftn(vel_grad_sum) * nabla1, shape)
-        eta_term = fft.irfftn(fft.rfftn(rho_sum) * nabla2, shape)
+        ab_fks = _rfftn_multi(fft, [vel_grad_sum, rho_sum], ndim)
+        tau_term, eta_term = _irfftn_multi(
+            fft, [ab_fks[0] * nabla1, ab_fks[1] * nabla2], shape)
         if cfg.nonlinear:
             nonlin = (ops.bona * rho_sum * rho_sum) / (2.0 * ops.rho0) + rho_sum
             p = c2 * (nonlin + tau * tau_term - eta * eta_term)
