@@ -36,7 +36,8 @@ def decode_frames_40b(hdr: jax.Array, mr: jax.Array, mi: jax.Array, e: int):
     return bitpack.decode40(hdr, mr, mi, e)
 
 
-@functools.partial(jax.jit, static_argnames=("o_size", "n_steps", "normalized"))
+@functools.partial(jax.jit, static_argnames=("o_size", "n_steps", "normalized",
+                                             "compute"))
 def reconstruct(
     f_re: jax.Array,
     f_im: jax.Array,
@@ -45,6 +46,7 @@ def reconstruct(
     o_size: int,
     n_steps: int,
     normalized: bool = True,
+    compute: str = "vpu",
 ):
     """Overlap-add synthesis of the time series from coefficient frames.
 
@@ -80,7 +82,8 @@ def reconstruct(
 
         frames = jnp.concatenate([f_re, f_im], axis=1)  # [Nc, 2H, N]
         tab4 = jnp.concatenate([be_re[o:], be_im[o:], be_re[:o], be_im[:o]], axis=1)
-        return fastpath.reconstruct_series(frames, tab4, o, n_steps, normalized)
+        return fastpath.reconstruct_series(frames, tab4, o, n_steps, normalized,
+                                           compute=compute)
     # x[k*o + r] = late[k, r] + early[k+1, r]. The coefficient frames are ~oSize x smaller
     # than the synthesized series, so pair frame k with frame k+1 on the (cheap) coefficient
     # side first, then run ONE contraction that writes the big output exactly once:

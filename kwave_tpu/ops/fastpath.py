@@ -32,6 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+# The default scoped-VMEM compiler limit is 16 MB — far below v5e's 128 MB physical
+# VMEM, and the binding constraint on window-block size (it capped KB at 2 and left
+# the kernels per-grid-step-overhead-bound at ~13% of HBM bandwidth). Raise it and
+# size the double-buffered blocks against the real budget.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -41,15 +51,19 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _dot_f32(a: jax.Array, b: jax.Array, dims) -> jax.Array:
-    """fp32-accurate MXU contraction. HIGHEST = six bf16 passes (full fp32 emulation).
+def _dot_f32(a: jax.Array, b: jax.Array, dims,
+             precision=lax.Precision.HIGHEST) -> jax.Array:
+    """MXU contraction. HIGHEST = six bf16 passes (full fp32 emulation); HIGH = three
+    passes (~3e-5 relative, above the 40-bit codec's ~8e-6 quantization floor but below
+    float-mode acceptance); DEFAULT = one bf16 pass (~4e-3).
 
-    Measured alternatives on chip: a 2-way bf16 split with 3 products leaves ~3e-5
-    relative error (above the 40-bit codec's ~8e-6 quantization floor) and bought only
-    ~6% end-to-end — the kernels are bandwidth-limited, not pass-count-limited."""
+    The projection operator is [4H, o] — e.g. 8x20 for the H=2/period-20 headline — so
+    every MXU pass runs at ~1% array utilization and the kernels are MXU-*issue*-bound,
+    not bandwidth-bound, whenever they use the MXU. That is why compute="vpu" (true fp32
+    FMAs, no emulation passes) is the production default: see _enc_kernel_vpu."""
     return lax.dot_general(a, b, dimension_numbers=dims,
                            preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGHEST)
+                           precision=precision)
 
 
 def _pick_tile(n: int, o_size: int, budget_bytes: int = 4 << 20) -> int:
@@ -63,30 +77,51 @@ def _pick_tile(n: int, o_size: int, budget_bytes: int = 4 << 20) -> int:
 
 
 def _pick_kb(k_frames: int, o_size: int, tile: int,
-             budget_bytes: int = 6 << 20) -> int:
-    """Windows per grid step: largest divisor of K within the VMEM budget (the chunk
-    block is KB*o*tile fp32, double-buffered)."""
+             budget_bytes: int = 24 << 20) -> int:
+    """Windows per grid step, as many as the VMEM budget allows (the chunk block is
+    KB*o*tile fp32, double-buffered; v5e VMEM is 128 MB). The callers zero-pad the
+    window axis up to a KB multiple, so KB need not divide K — measured on chip,
+    per-grid-step cost has a large fixed component (~10 us at KB=2), so fewer,
+    bigger steps dominate the tiled-DMA loss from padding."""
     cap = max(budget_bytes // (o_size * tile * 4 * 2), 1)
-    kb = 1
-    for d in range(1, min(cap, 8) + 1):
-        if k_frames % d == 0:
-            kb = d
-    return kb
+    return max(1, min(cap, 16, k_frames))
+
+
+# Mosaic rejects lax.Precision.HIGH inside kernels, so the MXU menu is the exact
+# 6-pass emulation or the raw single bf16 pass.
+_PRECISIONS = {
+    "mxu_highest": lax.Precision.HIGHEST,
+    "mxu_default": lax.Precision.DEFAULT,
+}
+
+
+def _project_vpu(tab: jax.Array, chunk: jax.Array) -> jax.Array:
+    """[o, 4H]^T . [o, tile] on the VPU: one [o, tile] broadcast-multiply + sublane
+    reduction per output row. True fp32 (no bf16 emulation passes) at 2*4H flops per
+    input element — ~4 flops/byte, far below the VPU:HBM ridge, so this path is
+    HBM-bandwidth-bound where the tiny-M MXU contraction is issue-bound."""
+    rows = [jnp.sum(chunk * tab[:, h:h + 1], axis=0, keepdims=True)
+            for h in range(tab.shape[1])]
+    return jnp.concatenate(rows, axis=0)  # [4H, tile]
 
 
 def _enc_kernel(chunk_ref, tab_lo_ref, tab_hi_ref, frame_ref, p1_scratch, *,
-                o_size: int, kb: int):
-    """Projections as ONE [4H, o] x [o, KB*tile] MXU contraction per grid step for a
-    block of KB windows (separate matmuls and VPU MAC loops both measured slower: M
-    and K are tiny next to the 128x128 array, so MXU issue count — which the fused M
-    dim halves — and per-grid-step overhead dominate; KB blocking amortizes the
-    latter). fp32 precision via HIGHEST (see _dot_f32)."""
+                o_size: int, kb: int, compute: str):
+    """Projections for a block of KB windows per grid step. compute="vpu" (default)
+    does each projection as 4H broadcast-multiply+sublane-reduce passes; the mxu_*
+    variants fuse the block into ONE [4H, o] x [o, KB*tile] contraction (M and K are
+    tiny next to the 128x128 array, so those run at ~1% utilization x pass count).
+    KB blocking amortizes per-grid-step overhead either way."""
     k = pl.program_id(1)
     h2 = tab_lo_ref.shape[1]
     tab = jnp.concatenate([tab_lo_ref[:], tab_hi_ref[:]], axis=1)  # [o, 4H]
     prev = p1_scratch[:]
     for j in range(kb):  # static unroll over the window block
-        p = _dot_f32(tab, chunk_ref[j], (((0,), (0,)), ((), ())))  # [4H, tile]
+        if compute == "vpu":
+            p = _project_vpu(tab, chunk_ref[j])  # [4H, tile]
+        else:
+            p = _dot_f32(tab, chunk_ref[j], (((0,), (0,)), ((), ())),
+                         _PRECISIONS[compute])
         p1, p2 = p[:h2], p[h2:]
         first = (k == 0) & (j == 0)
         frame_ref[j] = jnp.where(first, p1, prev) + p2
@@ -94,13 +129,14 @@ def _enc_kernel(chunk_ref, tab_lo_ref, tab_hi_ref, frame_ref, p1_scratch, *,
     p1_scratch[:] = prev
 
 
-@functools.partial(jax.jit, static_argnames=("o_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("o_size", "interpret", "compute"))
 def encode_frames(
     series: jax.Array,  # [K*o, N]
     tab_lo: jax.Array,  # [o, 2H] re|im columns, first window half
     tab_hi: jax.Array,  # [o, 2H] second half
     o_size: int,
     interpret: bool | None = None,
+    compute: str = "vpu",
 ):
     """Whole-series fast encode: returns frames [K, 2H, N]. One HBM read of the series."""
     if interpret is None:
@@ -112,18 +148,22 @@ def encode_frames(
     n_pad = _round_up(n, tile)
     if n_pad != n:
         series = jnp.pad(series, ((0, 0), (0, n_pad - n)))
-        out = encode_frames(series, tab_lo, tab_hi, o_size, interpret)
+        out = encode_frames(series, tab_lo, tab_hi, o_size, interpret, compute)
         return out[..., :n]
     # K is the MINOR grid dim: per sensor tile the windows run in order, so the P1
     # scratch carried across grid steps always holds the previous window's projection.
     # KB windows per grid step amortize the per-step overhead; the series gets an
     # explicit window axis ([K, o, N], block (KB, o, tile)) because Mosaic requires
     # block sublane dims divisible by 8 OR equal to the array dim — o is generally
-    # neither of a flat [K*o, N] layout.
+    # neither of a flat [K*o, N] layout. KB need not divide K: the boundary block's
+    # out-of-range windows read unspecified values and their writes are masked off
+    # (Pallas non-divisible-dim semantics); their P1 garbage only flows FORWARD into
+    # other out-of-range windows, and the next sensor tile restarts at k == 0 where
+    # `first` resets the carry.
     kb = _pick_kb(k_frames, o_size, tile)
-    grid = (pl.cdiv(n, tile), k_frames // kb)
+    grid = (pl.cdiv(n, tile), pl.cdiv(k_frames, kb))
     frames = pl.pallas_call(
-        functools.partial(_enc_kernel, o_size=o_size, kb=kb),
+        functools.partial(_enc_kernel, o_size=o_size, kb=kb, compute=compute),
         grid=grid,
         in_specs=[
             pl.BlockSpec((kb, o_size, tile), lambda i, k: (k, 0, i),
@@ -136,21 +176,32 @@ def encode_frames(
         ),
         out_shape=jax.ShapeDtypeStruct((k_frames, h2, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((h2, tile), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(series[: k_frames * o_size].reshape(k_frames, o_size, n), tab_lo, tab_hi)
     return frames
 
 
-def _dec_kernel(f_late_ref, f_early_ref, tab_ref, x_ref, *, o_size: int, kb: int):
+def _dec_kernel(f_late_ref, f_early_ref, tab_ref, x_ref, *, o_size: int, kb: int,
+                compute: str):
     # g [4H, TN] = [late re|im ; early re|im]; x = tab . g (see _enc_kernel for the
-    # MXU/precision choices); KB windows per grid step
+    # compute-path choices); KB windows per grid step. The VPU form accumulates the
+    # 4H-term synthesis as broadcast FMAs: x[r, :] = sum_h tab[r, h] * g[h, :].
     for j in range(kb):
         g = jnp.concatenate([f_late_ref[j], f_early_ref[j]], axis=0)
-        x_ref[j] = _dot_f32(tab_ref[:], g, (((1,), (0,)), ((), ())))
+        if compute == "vpu":
+            tab = tab_ref[:]  # [o, 4H]
+            acc = tab[:, 0:1] * g[0:1, :]
+            for h in range(1, tab.shape[1]):
+                acc = acc + tab[:, h:h + 1] * g[h:h + 1, :]
+            x_ref[j] = acc
+        else:
+            x_ref[j] = _dot_f32(tab_ref[:], g, (((1,), (0,)), ((), ())),
+                                _PRECISIONS[compute])
 
 
 @functools.partial(jax.jit, static_argnames=("o_size", "n_steps", "normalized",
-                                              "interpret"))
+                                              "interpret", "compute"))
 def reconstruct_series(
     frames: jax.Array,  # [K, 2H, N] rows [:H]=re, [H:]=im
     tab: jax.Array,  # [o, 4H] = [be_re[o:] | be_im[o:] | be_re[:o] | be_im[:o]]
@@ -158,6 +209,7 @@ def reconstruct_series(
     n_steps: int,
     normalized: bool = True,
     interpret: bool | None = None,
+    compute: str = "vpu",
 ):
     """Overlap-add synthesis (decoder.reconstruct semantics) writing the series once."""
     if interpret is None:
@@ -168,7 +220,8 @@ def reconstruct_series(
     n_pad = _round_up(n, tile)
     if n_pad != n:
         frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_pad - n)))
-        x = reconstruct_series(frames, tab, o_size, n_steps, normalized, interpret)
+        x = reconstruct_series(frames, tab, o_size, n_steps, normalized, interpret,
+                               compute)
         return x[:, :n]
     pad_to = max(k_max, k_total) + 1
     if pad_to != k_total:
@@ -178,14 +231,14 @@ def reconstruct_series(
     if normalized:
         tab = tab * jnp.float32(o_size / 2.0)
     kb = _pick_kb(k_max, o_size, tile)
-    grid = (pl.cdiv(n, tile), k_max // kb)
+    grid = (pl.cdiv(n, tile), pl.cdiv(k_max, kb))
     # window k pairs frame k (late half) with frame k+1 (early half); the early stream
     # is the frames array shifted by one (a cheap copy of the SMALL coefficient side)
     # so both inputs block cleanly at any KB
     f_late = frames[:k_max]
     f_early = frames[1 : k_max + 1]
     x = pl.pallas_call(
-        functools.partial(_dec_kernel, o_size=o_size, kb=kb),
+        functools.partial(_dec_kernel, o_size=o_size, kb=kb, compute=compute),
         grid=grid,
         in_specs=[
             pl.BlockSpec((kb, h2, tile), lambda i, k: (k, 0, i),
@@ -199,6 +252,7 @@ def reconstruct_series(
             (kb, o_size, tile), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k_max, o_size, n), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(f_late, f_early, tab)
     x = x.reshape(k_max * o_size, n)

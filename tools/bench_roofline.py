@@ -1,0 +1,243 @@
+"""Codec roofline: measured HBM ceiling vs per-kernel throughput, per compute path.
+
+Answers round-2 VERDICT item #2 quantitatively. For the headline workload
+(T=4096, N=16384, period 20, H=2) it measures, on the current backend:
+
+- `copy`     : a chained elementwise pass (read + write the series once) — the
+               achievable HBM ceiling through this harness, i.e. the speed of light
+               the fast-path kernels claim.
+- `encode`   : fastpath.encode_frames alone (reads series once, writes frames once),
+               chained through the (tiny) basis table so successive calls have a true
+               data dependency with no extra HBM pass.
+- `decode`   : fastpath.reconstruct_series alone (reads frames, writes series once),
+               chained through the (tiny) frames side.
+- `roundtrip`: bench.py's encode+decode chain.
+
+Each of encode/decode/roundtrip runs once per compute path: "vpu" (true-fp32
+broadcast-FMA), "mxu_highest" (6-pass bf16 emulation), "mxu_high" (3-pass),
+"mxu_default" (1 bf16 pass). Throughputs are reported as ACTUAL bytes moved / time
+(series bytes S, frame bytes F: copy=2S, encode=S+F, decode=F+S, roundtrip=2S+2F),
+so a kernel at the ceiling prints the same GB/s as `copy`. The round-trip relative
+error per path is reported alongside (accuracy cost of the bf16 paths).
+
+Timing closes with a 4-byte scalar probe (axon tunnel; see BASELINE.md methodology).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+from kwave_tpu import decoder, encoder  # noqa: E402
+from kwave_tpu.basis import generate_basis  # noqa: E402
+from kwave_tpu.ops import fastpath  # noqa: E402
+
+PERIOD = 20.0
+HARMONICS = 2
+T_STEPS = 4096
+N_SENSORS = 16384
+REPS_INNER = 16
+REPS_OUTER = 4
+PATHS = ("vpu", "mxu_highest", "mxu_default")
+
+
+def _series(t, n):
+    rng = np.random.default_rng(0)
+    tt = np.arange(t, dtype=np.float32)[:, None]
+    ph = rng.uniform(0, 2 * np.pi, n).astype(np.float32)[None, :]
+    x = 1e5 * np.sin(2 * np.pi * tt / PERIOD + ph)
+    x += 1e4 * np.sin(4 * np.pi * tt / PERIOD + 1.7 * ph)
+    return x.astype(np.float32)
+
+
+def _timeit(chain, probe, arg):
+    out = chain(arg)
+    float(probe(out))  # warmup + compile
+    t0 = time.perf_counter()
+    for _ in range(REPS_OUTER):
+        out = chain(arg)
+    float(probe(out))
+    return (time.perf_counter() - t0) / (REPS_OUTER * REPS_INNER)
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def main():
+    paths = tuple(sys.argv[1].split(",")) if len(sys.argv) > 1 else PATHS
+    if paths == ("none",):
+        paths = ()
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
+          file=sys.stderr, flush=True)
+    cb = generate_basis(PERIOD, 1, HARMONICS, normalize=True)
+    o = cb.o_size
+    k_frames = T_STEPS // o
+    series = jnp.asarray(_series(T_STEPS, N_SENSORS))
+    be_re, be_im, _, _ = cb.tables(False)
+    tab_re = jnp.asarray(be_re[:, : 2 * o].T)  # [2o, H]
+    tab_im = jnp.asarray(be_im[:, : 2 * o].T)
+    tab2o = jnp.concatenate([tab_re, tab_im], axis=1)  # [2o, 2H]
+    tab_lo, tab_hi = tab2o[:o], tab2o[o:]
+    # decode table layout per fastpath.reconstruct_series
+    tab4 = jnp.concatenate(
+        [tab_re[o:], tab_im[o:], tab_re[:o], tab_im[:o]], axis=1)  # [o, 4H]
+
+    s_bytes = series.size * 4
+    f_bytes = k_frames * (4 * HARMONICS) * N_SENSORS * 4
+    probe = jax.jit(lambda a: jnp.sum(a[..., :1]))
+
+    results = {}
+
+    # --- HBM ceiling: chained elementwise pass ---
+    @jax.jit
+    def copy_chain(x):
+        def body(c, i):
+            return c * (1.0 + 0.0 * i.astype(jnp.float32)), None
+        out, _ = lax.scan(body, x, jnp.arange(REPS_INNER))
+        return out
+
+    dt = _timeit(copy_chain, probe, series)
+    results["copy"] = round(2 * s_bytes / dt / 1e9, 1)
+    _emit({"op": "copy", "gbps": results["copy"]})
+
+    # --- structural probe: a pure copy through the encode kernel's exact grid/block
+    # structure ([K, o, N] blocks (kb, o, tile)) — separates DMA/grid overhead from
+    # compute in the encode numbers ---
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile = fastpath._pick_tile(N_SENSORS, o)
+    kb = fastpath._pick_kb(k_frames, o, tile)
+
+    def _copy_kernel(c_ref, o_ref):
+        o_ref[...] = c_ref[...]
+
+    def _pallas_copy(x3):
+        return pl.pallas_call(
+            _copy_kernel,
+            grid=(pl.cdiv(N_SENSORS, tile), pl.cdiv(k_frames, kb)),
+            in_specs=[pl.BlockSpec((kb, o, tile), lambda i, k: (k, 0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((kb, o, tile), lambda i, k: (k, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x3.shape, jnp.float32),
+            compiler_params=fastpath._compiler_params(),
+        )(x3)
+
+    @jax.jit
+    def pcopy_chain(x):
+        x3 = x[: k_frames * o].reshape(k_frames, o, N_SENSORS)
+
+        def body(c, _):
+            return _pallas_copy(c), None
+        out, _ = lax.scan(body, x3, None, length=REPS_INNER)
+        return out
+
+    dt = _timeit(pcopy_chain, probe, series)
+    results["pallas_copy"] = round(2 * k_frames * o * N_SENSORS * 4 / dt / 1e9, 1)
+    _emit({"op": "pallas_copy", "gbps": results["pallas_copy"],
+           "kb": kb, "tile": tile})
+
+    # --- same probe with FLAT 8-aligned row blocks ([K*o, N] blocks (8*o, tile)):
+    # isolates the cost of the o-sublane (non-(8,128)-tile-aligned) block shape ---
+    rows = 8 * o
+    t_flat = k_frames * o
+
+    def _pallas_copy_flat(x2):
+        return pl.pallas_call(
+            _copy_kernel,
+            grid=(pl.cdiv(N_SENSORS, tile), pl.cdiv(t_flat, rows)),
+            in_specs=[pl.BlockSpec((rows, tile), lambda i, k: (k, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((rows, tile), lambda i, k: (k, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.float32),
+            compiler_params=fastpath._compiler_params(),
+        )(x2)
+
+    @jax.jit
+    def pcopy_flat_chain(x):
+        x2 = x[:t_flat]
+
+        def body(c, _):
+            return _pallas_copy_flat(c), None
+        out, _ = lax.scan(body, x2, None, length=REPS_INNER)
+        return out
+
+    dt = _timeit(pcopy_flat_chain, probe, series)
+    results["pallas_copy_flat"] = round(2 * t_flat * N_SENSORS * 4 / dt / 1e9, 1)
+    _emit({"op": "pallas_copy_flat", "gbps": results["pallas_copy_flat"],
+           "rows": rows, "tile": tile})
+
+    for path in paths:
+        # --- encode alone: dependency injected through the tiny basis table ---
+        @jax.jit
+        def enc_chain(x, _path=path):
+            def body(tl, _):
+                f = fastpath.encode_frames(x, tl, tab_hi, o, compute=_path)
+                return tl + 0.0 * f[0, 0, 0], f
+            _, fs = lax.scan(body, tab_lo, None, length=REPS_INNER)
+            return fs[-1]
+
+        dt = _timeit(enc_chain, probe, series)
+        enc_gbps = (s_bytes + f_bytes) / dt / 1e9
+        _emit({"op": "encode", "path": path, "gbps": round(enc_gbps, 1)})
+
+        # --- decode alone: dependency chained through the (small) frames ---
+        frames = fastpath.encode_frames(series, tab_lo, tab_hi, o, compute="vpu")
+
+        @jax.jit
+        def dec_chain(f0, _path=path):
+            def body(f, _):
+                x = fastpath.reconstruct_series(f, tab4, o, T_STEPS,
+                                                compute=_path)
+                return f * (1.0 + 0.0 * x[0, 0]), x
+            _, xs = lax.scan(body, f0, None, length=REPS_INNER)
+            return xs[-1]
+
+        dt = _timeit(dec_chain, probe, frames)
+        dec_gbps = (s_bytes + f_bytes) / dt / 1e9
+        _emit({"op": "decode", "path": path, "gbps": round(dec_gbps, 1)})
+
+        # --- full round trip (bench.py semantics) + accuracy ---
+        def one(x, _path=path):
+            f_re, f_im = encoder.encode_series_fast(x, cb, compute=_path)
+            return decoder.reconstruct(f_re, f_im, tab_re, tab_im, o, T_STEPS,
+                                       compute=_path)
+
+        @jax.jit
+        def rt_chain(x):
+            def body(c, _):
+                return one(c), None
+            out, _ = lax.scan(body, x, None, length=REPS_INNER)
+            return out
+
+        rec = jax.jit(one)(series)
+        err = float(
+            jnp.max(jnp.abs(rec[2 * o: k_frames * o - 2 * o]
+                            - series[2 * o: k_frames * o - 2 * o]))
+            / jnp.max(jnp.abs(series)))
+        dt = _timeit(rt_chain, probe, series)
+        rt_gbps = 2 * (s_bytes + f_bytes) / dt / 1e9
+        results[path] = {
+            "encode": round(enc_gbps, 1),
+            "decode": round(dec_gbps, 1),
+            "roundtrip": round(rt_gbps, 1),
+            "roundtrip_rel_err": float(f"{err:.2e}"),
+        }
+        _emit({"op": "roundtrip", "path": path, "gbps": round(rt_gbps, 1),
+               "rel_err": float(f"{err:.2e}")})
+
+    print(json.dumps(results, indent=2), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
