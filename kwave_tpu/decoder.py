@@ -46,7 +46,7 @@ def reconstruct(
     o_size: int,
     n_steps: int,
     normalized: bool = True,
-    compute: str = "vpu",
+    compute: str = "flat",
 ):
     """Overlap-add synthesis of the time series from coefficient frames.
 
@@ -82,6 +82,9 @@ def reconstruct(
 
         frames = jnp.concatenate([f_re, f_im], axis=1)  # [Nc, 2H, N]
         tab4 = jnp.concatenate([be_re[o:], be_im[o:], be_re[:o], be_im[:o]], axis=1)
+        if compute == "flat":
+            return fastpath.reconstruct_series_flat(frames, tab4, o, n_steps,
+                                                    normalized)
         return fastpath.reconstruct_series(frames, tab4, o, n_steps, normalized,
                                            compute=compute)
     # x[k*o + r] = late[k, r] + early[k+1, r]. The coefficient frames are ~oSize x smaller

@@ -423,7 +423,7 @@ def _fast_project(series, be_re, be_im, o_size: int, precision):
 
 def encode_series_fast(series, basis: CompressionBasis, shifted=False, mode40=False,
                        overlap=True, precision=lax.Precision.HIGHEST,
-                       bits: Optional[int] = None, compute: str = "vpu"):
+                       bits: Optional[int] = None, compute: str = "flat"):
     """Fast windowed-projection encoder (not bit-identical; fp32-accurate).
 
     Float mode returns (re, im) [Nc, H, N]; packed modes quantize each completed frame
@@ -443,8 +443,11 @@ def encode_series_fast(series, basis: CompressionBasis, shifted=False, mode40=Fa
             from kwave_tpu.ops import fastpath
 
             tab = jnp.concatenate([be_re, be_im], axis=1)  # [2o, 2H]
-            frames = fastpath.encode_frames(series, tab[:o], tab[o:], o,
-                                            compute=compute)
+            if compute == "flat":
+                frames = fastpath.encode_frames_flat(series, tab[:o], tab[o:], o)
+            else:
+                frames = fastpath.encode_frames(series, tab[:o], tab[o:], o,
+                                                compute=compute)
             h = basis.harmonics
             f_re, f_im = frames[:, :h], frames[:, h:]
         else:

@@ -23,6 +23,7 @@ frames [K, 2H, N] with rows [:H] = re, [H:] = im.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -180,6 +181,204 @@ def encode_frames(
         interpret=interpret,
     )(series[: k_frames * o_size].reshape(k_frames, o_size, n), tab_lo, tab_hi)
     return frames
+
+
+# ---------------------------------------------------------------------------
+# Flat-block kernels: every HBM block 8-sublane aligned + block-diagonal matmul
+# ---------------------------------------------------------------------------
+#
+# The 3D-layout kernels above block the series as [K, o, N] with o (e.g. 20) on the
+# sublane axis. o is generally not a multiple of the fp32 (8, 128) HBM tile, and the
+# resulting partial-tile DMAs run at ~half bandwidth (measured: a pure copy through
+# that structure reaches ~200 GB/s vs ~410 GB/s for the aligned elementwise ceiling).
+# The flat variants keep the series in its natural [T, N] layout and pick KB so that
+# every block row count (KB*o in, KB*2H out) is a multiple of 8. The per-window
+# projections then can't address windows on the sublane axis — instead ALL KB windows
+# are projected by ONE [KB*4H, KB*o] x [KB*o, tile] matmul against a block-diagonal
+# operator: 8x the flops of the per-window form, but at ~60% MXU utilization (vs ~1%)
+# the compute stays well under the DMA time and the kernel is bandwidth-bound.
+
+
+def _aligned_kb(o_size: int, h2: int, tile: int, k_frames: int,
+                budget_bytes: int = 24 << 20) -> int:
+    """Largest KB within the VMEM budget such that KB*o and KB*h2 are both
+    multiples of 8 (fully tile-aligned HBM blocks)."""
+    def unit(m):
+        return 8 // math.gcd(m, 8)
+
+    base = unit(o_size) * unit(h2) // math.gcd(unit(o_size), unit(h2))  # lcm
+    cap = max(budget_bytes // (o_size * tile * 4 * 2), 1)
+    kb = max(base, (min(cap, 16) // base) * base)
+    return min(kb, _round_up(k_frames, base))
+
+
+def _dot_split3(a: jax.Array, b: jax.Array, dims) -> jax.Array:
+    """fp32-ish contraction as 3 native bf16 MXU passes (2-way operand split,
+    a_lo*b_lo dropped): ~2^-21 relative — half the passes of HIGHEST. Mosaic has
+    no Precision.HIGH, so the split is spelled out."""
+    f32 = jnp.float32
+    a_hi = a.astype(jnp.bfloat16).astype(f32)
+    b_hi = b.astype(jnp.bfloat16).astype(f32)
+    a_lo, b_lo = a - a_hi, b - b_hi
+
+    def d(u, v):
+        return lax.dot_general(u.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                               dims, preferred_element_type=f32,
+                               precision=lax.Precision.DEFAULT)
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _dot_flat(a, b, dims, precision: str):
+    if precision == "split3":
+        return _dot_split3(a, b, dims)
+    return _dot_f32(a, b, dims, {"highest": lax.Precision.HIGHEST,
+                                 "default": lax.Precision.DEFAULT}[precision])
+
+
+def _block_diag(tab: jax.Array, kb: int) -> jax.Array:
+    """[kb*r, kb*c] block-diagonal stack of a [r, c] table (trace-time constant)."""
+    r, c = tab.shape
+    out = jnp.zeros((kb * r, kb * c), jnp.float32)
+    for j in range(kb):
+        out = out.at[j * r:(j + 1) * r, j * c:(j + 1) * c].set(tab)
+    return out
+
+
+def _mask_oob_rows(block: jax.Array, k: jax.Array, rows_per_step: int,
+                   total_rows: int) -> jax.Array:
+    """Zero the rows of a boundary block that lie past the array end. Unlike the
+    write side (which Pallas masks automatically), OOB READS return unspecified
+    values, and the block-diagonal contraction would propagate NaN*0 = NaN from
+    them into every output row."""
+    valid = total_rows - k * rows_per_step
+    row = lax.broadcasted_iota(jnp.int32, (block.shape[0], 1), 0)
+    return jnp.where(row < valid, block, 0.0)
+
+
+def _enc_kernel_flat(chunk_ref, tabblk_ref, frame_ref, p1_scratch, *, h2: int,
+                     kb: int, t_rows: int, precision: str):
+    """ONE block-diagonal contraction projects all KB windows, then the window-split
+    carry identity (frame[k] = P1[k-1] + P2[k]) is applied on the small projection."""
+    k = pl.program_id(1)
+    chunk = _mask_oob_rows(chunk_ref[:], k, chunk_ref.shape[0], t_rows)
+    p_all = _dot_flat(tabblk_ref[:], chunk, (((0,), (0,)), ((), ())), precision)
+    prev = p1_scratch[:]
+    outs = []
+    for j in range(kb):
+        pj = p_all[j * 2 * h2:(j + 1) * 2 * h2]
+        p1, p2 = pj[:h2], pj[h2:]
+        first = (k == 0) & (j == 0)
+        outs.append(jnp.where(first, p1, prev) + p2)
+        prev = p1
+    frame_ref[:] = jnp.concatenate(outs, axis=0)  # [kb*h2, tile]
+    p1_scratch[:] = prev
+
+
+@functools.partial(jax.jit, static_argnames=("o_size", "interpret", "precision"))
+def encode_frames_flat(
+    series: jax.Array,  # [K*o, N]
+    tab_lo: jax.Array,  # [o, 2H]
+    tab_hi: jax.Array,  # [o, 2H]
+    o_size: int,
+    interpret: bool | None = None,
+    precision: str = "highest",
+):
+    """encode_frames semantics through the aligned flat-block kernel."""
+    if interpret is None:
+        interpret = _interpret_default()
+    t_total, n = series.shape
+    k_frames = t_total // o_size
+    h2 = tab_lo.shape[1]
+    tile = _pick_tile(n, o_size)
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        series = jnp.pad(series, ((0, 0), (0, n_pad - n)))
+        out = encode_frames_flat(series, tab_lo, tab_hi, o_size, interpret,
+                                 precision)
+        return out[..., :n]
+    kb = _aligned_kb(o_size, h2, tile, k_frames)
+    tab4 = jnp.concatenate([tab_lo, tab_hi], axis=1)  # [o, 4H]
+    tab_blk = _block_diag(tab4, kb)  # [kb*o, kb*4H]
+    grid = (pl.cdiv(n, tile), pl.cdiv(k_frames, kb))
+    frames_flat = pl.pallas_call(
+        functools.partial(_enc_kernel_flat, h2=h2, kb=kb,
+                          t_rows=k_frames * o_size, precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kb * o_size, tile), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb * o_size, kb * 2 * h2), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kb * h2, tile), lambda i, k: (k, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_frames * h2, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h2, tile), jnp.float32)],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(series[: k_frames * o_size], tab_blk)
+    return frames_flat.reshape(k_frames, h2, n)
+
+
+def _dec_kernel_flat(g_ref, tabblk_ref, x_ref, *, g_rows: int, precision: str):
+    k = pl.program_id(1)
+    g = _mask_oob_rows(g_ref[:], k, g_ref.shape[0], g_rows)
+    x_ref[:] = _dot_flat(tabblk_ref[:], g, (((1,), (0,)), ((), ())), precision)
+
+
+@functools.partial(jax.jit, static_argnames=("o_size", "n_steps", "normalized",
+                                              "interpret", "precision"))
+def reconstruct_series_flat(
+    frames: jax.Array,  # [K, 2H, N]
+    tab: jax.Array,  # [o, 4H]
+    o_size: int,
+    n_steps: int,
+    normalized: bool = True,
+    interpret: bool | None = None,
+    precision: str = "highest",
+):
+    """reconstruct_series semantics through the aligned flat-block kernel."""
+    if interpret is None:
+        interpret = _interpret_default()
+    k_total, h2, n = frames.shape
+    k_max = (n_steps + o_size - 1) // o_size
+    tile = _pick_tile(n, o_size)
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_pad - n)))
+        x = reconstruct_series_flat(frames, tab, o_size, n_steps, normalized,
+                                    interpret, precision)
+        return x[:, :n]
+    pad_to = max(k_max, k_total) + 1
+    if pad_to != k_total:
+        frames = jnp.pad(frames, ((0, pad_to - k_total), (0, 0), (0, 0)))
+    if normalized:
+        tab = tab * jnp.float32(o_size / 2.0)
+    kb = _aligned_kb(o_size, h2, tile, k_max)
+    # pair frame k (late half) with frame k+1 (early half) on the small coefficient
+    # side: g[k] = [frames[k]; frames[k+1]] flattened to aligned rows
+    g = jnp.concatenate([frames[:k_max], frames[1:k_max + 1]], axis=1)
+    g_flat = g.reshape(k_max * 2 * h2, n)
+    tab_blk = _block_diag(tab, kb)  # [kb*o, kb*4H]
+    grid = (pl.cdiv(n, tile), pl.cdiv(k_max, kb))
+    x = pl.pallas_call(
+        functools.partial(_dec_kernel_flat, g_rows=k_max * 2 * h2,
+                          precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kb * 2 * h2, tile), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb * o_size, kb * 2 * h2), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kb * o_size, tile), lambda i, k: (k, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_max * o_size, n), jnp.float32),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(g_flat, tab_blk)
+    return x if n_steps == k_max * o_size else x[:n_steps]
 
 
 def _dec_kernel(f_late_ref, f_early_ref, tab_ref, x_ref, *, o_size: int, kb: int,

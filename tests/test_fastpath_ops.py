@@ -122,3 +122,48 @@ def test_whole_series_exact_kernels_match_fori(monkeypatch):
             else:
                 np.testing.assert_allclose(st_a[sk], st_b[sk], rtol=1e-5, atol=1e-2,
                                            err_msg=f"{key} state {sk}")
+
+
+def test_flat_kernels_match_3d_kernels():
+    """The aligned flat-block kernels (block-diagonal projection, masked boundary
+    blocks) are bit-identical to the 3D-layout kernels across window lengths,
+    harmonics, and non-divisible window counts."""
+    for period, h, windows, extra, n in [(20.0, 2, 10, 0, 300), (20.0, 1, 7, 0, 128),
+                                         (14.0, 4, 7, 1, 200)]:
+        cb = generate_basis(period, 1, h, normalize=True)
+        o = cb.o_size
+        x = jnp.asarray(_series(o * windows + extra, n, seed=3))
+        be_re, be_im, _, _ = cb.tables(False)
+        tab_re = jnp.asarray(be_re[:, : 2 * o].T)
+        tab_im = jnp.asarray(be_im[:, : 2 * o].T)
+        tab2o = jnp.concatenate([tab_re, tab_im], axis=1)
+        tab4 = jnp.concatenate(
+            [tab_re[o:], tab_im[o:], tab_re[:o], tab_im[:o]], axis=1)
+
+        f_ref = fastpath.encode_frames(x, tab2o[:o], tab2o[o:], o,
+                                       compute="mxu_highest")
+        f_flat = fastpath.encode_frames_flat(x, tab2o[:o], tab2o[o:], o)
+        np.testing.assert_array_equal(np.asarray(f_flat), np.asarray(f_ref),
+                                      err_msg=f"enc o={o} H={h}")
+
+        r_ref = fastpath.reconstruct_series(f_ref, tab4, o, o * windows,
+                                            compute="mxu_highest")
+        r_flat = fastpath.reconstruct_series_flat(f_ref, tab4, o, o * windows)
+        np.testing.assert_array_equal(np.asarray(r_flat), np.asarray(r_ref),
+                                      err_msg=f"dec o={o} H={h}")
+
+
+def test_flat_kernel_precisions_close():
+    """split3 (3-pass bf16 split) stays within ~1e-5 of the fp32 path."""
+    cb = generate_basis(20.0, 1, 2, normalize=True)
+    o = cb.o_size
+    x = jnp.asarray(_series(o * 6, 160, seed=5))
+    be_re, be_im, _, _ = cb.tables(False)
+    tab2o = jnp.concatenate(
+        [jnp.asarray(be_re[:, : 2 * o].T), jnp.asarray(be_im[:, : 2 * o].T)], axis=1)
+    f_hi = fastpath.encode_frames_flat(x, tab2o[:o], tab2o[o:], o,
+                                       precision="highest")
+    f_s3 = fastpath.encode_frames_flat(x, tab2o[:o], tab2o[o:], o,
+                                       precision="split3")
+    scale = float(jnp.max(jnp.abs(f_hi)))
+    assert float(jnp.max(jnp.abs(f_s3 - f_hi))) < 1e-4 * scale

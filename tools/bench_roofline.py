@@ -45,16 +45,21 @@ T_STEPS = 4096
 N_SENSORS = 16384
 REPS_INNER = 16
 REPS_OUTER = 4
-PATHS = ("vpu", "mxu_highest", "mxu_default")
+PATHS = ("flat", "vpu", "mxu_highest", "mxu_default")
 
 
 def _series(t, n):
-    rng = np.random.default_rng(0)
-    tt = np.arange(t, dtype=np.float32)[:, None]
-    ph = rng.uniform(0, 2 * np.pi, n).astype(np.float32)[None, :]
-    x = 1e5 * np.sin(2 * np.pi * tt / PERIOD + ph)
-    x += 1e4 * np.sin(4 * np.pi * tt / PERIOD + 1.7 * ph)
-    return x.astype(np.float32)
+    """Built ON DEVICE: a 268 MB host->device upload over the axon tunnel can take
+    many minutes when the tunnel is congested (BASELINE.md methodology)."""
+    @jax.jit
+    def gen():
+        tt = jnp.arange(t, dtype=jnp.float32)[:, None]
+        ph = jax.random.uniform(jax.random.PRNGKey(0), (1, n), dtype=jnp.float32,
+                                minval=0.0, maxval=2.0 * np.pi)
+        x = 1e5 * jnp.sin(2 * jnp.pi * tt / PERIOD + ph)
+        return x + 1e4 * jnp.sin(4 * jnp.pi * tt / PERIOD + 1.7 * ph)
+
+    return gen()
 
 
 def _timeit(chain, probe, arg):
@@ -71,6 +76,10 @@ def _emit(obj):
     print(json.dumps(obj), flush=True)
 
 
+def _log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     paths = tuple(sys.argv[1].split(",")) if len(sys.argv) > 1 else PATHS
     if paths == ("none",):
@@ -80,7 +89,9 @@ def main():
     cb = generate_basis(PERIOD, 1, HARMONICS, normalize=True)
     o = cb.o_size
     k_frames = T_STEPS // o
+    _log("basis done")
     series = jnp.asarray(_series(T_STEPS, N_SENSORS))
+    _log("series generated on device")
     be_re, be_im, _, _ = cb.tables(False)
     tab_re = jnp.asarray(be_re[:, : 2 * o].T)  # [2o, H]
     tab_im = jnp.asarray(be_im[:, : 2 * o].T)
@@ -93,6 +104,7 @@ def main():
     s_bytes = series.size * 4
     f_bytes = k_frames * (4 * HARMONICS) * N_SENSORS * 4
     probe = jax.jit(lambda a: jnp.sum(a[..., :1]))
+    _log("tables staged; starting copy chain")
 
     results = {}
 
@@ -179,10 +191,20 @@ def main():
 
     for path in paths:
         # --- encode alone: dependency injected through the tiny basis table ---
+        def _enc(x, tl, _path=path):
+            if _path == "flat":
+                return fastpath.encode_frames_flat(x, tl, tab_hi, o)
+            return fastpath.encode_frames(x, tl, tab_hi, o, compute=_path)
+
+        def _dec(f, _path=path):
+            if _path == "flat":
+                return fastpath.reconstruct_series_flat(f, tab4, o, T_STEPS)
+            return fastpath.reconstruct_series(f, tab4, o, T_STEPS, compute=_path)
+
         @jax.jit
-        def enc_chain(x, _path=path):
+        def enc_chain(x):
             def body(tl, _):
-                f = fastpath.encode_frames(x, tl, tab_hi, o, compute=_path)
+                f = _enc(x, tl)
                 return tl + 0.0 * f[0, 0, 0], f
             _, fs = lax.scan(body, tab_lo, None, length=REPS_INNER)
             return fs[-1]
@@ -195,10 +217,9 @@ def main():
         frames = fastpath.encode_frames(series, tab_lo, tab_hi, o, compute="vpu")
 
         @jax.jit
-        def dec_chain(f0, _path=path):
+        def dec_chain(f0):
             def body(f, _):
-                x = fastpath.reconstruct_series(f, tab4, o, T_STEPS,
-                                                compute=_path)
+                x = _dec(f)
                 return f * (1.0 + 0.0 * x[0, 0]), x
             _, xs = lax.scan(body, f0, None, length=REPS_INNER)
             return xs[-1]
