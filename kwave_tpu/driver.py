@@ -377,8 +377,11 @@ def run_simulation(
             )
             shift_fn = mxfft_mod.make_shift_ops(ops, grid.shape, precision=prec)
             ops = mxfft_mod.permute_operators(ops, len(grid.shape), ax_perms)
-            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn,
-                         batched=True)
+            # batched=False: stacking the velocity-gradient transforms into one
+            # batched mxfft call measured SLOWER at 256^3 (40.3 vs 28.4 ms/step) —
+            # the jnp.stack materializations cost more HBM traffic than the larger
+            # base-DFT batch saves in MXU issue. Kept available via FftOps.batched.
+            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn)
         ops = jax.tree_util.tree_map(jnp.asarray, ops)
     cfg = SolverConfig(
         nonlinear=data.nonlinear,

@@ -321,10 +321,25 @@ def encode_frames_flat(
     return frames_flat.reshape(k_frames, h2, n)
 
 
-def _dec_kernel_flat(g_ref, tabblk_ref, x_ref, *, g_rows: int, precision: str):
+def _dec_kernel_flat(f_ref, nxt_ref, tabblk_ref, x_ref, first_scratch, *,
+                     kb: int, h2f: int, f_rows: int, nb: int, precision: str):
+    """Window-blocks walk in REVERSE grid order so the pairing of frame w with
+    frame w+1 needs no pre-shifted copy of the frames: the previous (higher)
+    block's first frame is carried in VMEM scratch; the very first step (the
+    highest block) takes its successor frame from the tiny `nxt` input."""
     k = pl.program_id(1)
-    g = _mask_oob_rows(g_ref[:], k, g_ref.shape[0], g_rows)
+    b = nb - 1 - k  # block index in frame order
+    f = _mask_oob_rows(f_ref[:], b, kb * h2f, f_rows)
+    succ_last = jnp.where(k == 0,
+                          _mask_oob_rows(nxt_ref[:], (b + 1) * kb, h2f, f_rows),
+                          first_scratch[:])
+    parts = []
+    for j in range(kb):
+        parts.append(f[j * h2f:(j + 1) * h2f])
+        parts.append(f[(j + 1) * h2f:(j + 2) * h2f] if j < kb - 1 else succ_last)
+    g = jnp.concatenate(parts, axis=0)  # [kb*2*h2f, tile]
     x_ref[:] = _dot_flat(tabblk_ref[:], g, (((1,), (0,)), ((), ())), precision)
+    first_scratch[:] = f[:h2f]
 
 
 @functools.partial(jax.jit, static_argnames=("o_size", "n_steps", "normalized",
@@ -356,28 +371,31 @@ def reconstruct_series_flat(
     if normalized:
         tab = tab * jnp.float32(o_size / 2.0)
     kb = _aligned_kb(o_size, h2, tile, k_max)
-    # pair frame k (late half) with frame k+1 (early half) on the small coefficient
-    # side: g[k] = [frames[k]; frames[k+1]] flattened to aligned rows
-    g = jnp.concatenate([frames[:k_max], frames[1:k_max + 1]], axis=1)
-    g_flat = g.reshape(k_max * 2 * h2, n)
+    frames_flat = frames.reshape(pad_to * h2, n)
     tab_blk = _block_diag(tab, kb)  # [kb*o, kb*4H]
-    grid = (pl.cdiv(n, tile), pl.cdiv(k_max, kb))
+    nb = pl.cdiv(k_max, kb)
+    grid = (pl.cdiv(n, tile), nb)
     x = pl.pallas_call(
-        functools.partial(_dec_kernel_flat, g_rows=k_max * 2 * h2,
-                          precision=precision),
+        functools.partial(_dec_kernel_flat, kb=kb, h2f=h2,
+                          f_rows=pad_to * h2, nb=nb, precision=precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((kb * 2 * h2, tile), lambda i, k: (k, i),
+            pl.BlockSpec((kb * h2, tile), lambda i, k, _nb=nb: (_nb - 1 - k, i),
+                         memory_space=pltpu.VMEM),
+            # the single successor frame of the block's last window (tiny)
+            pl.BlockSpec((h2, tile), lambda i, k, _nb=nb, _kb=kb: ((_nb - k) * _kb, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kb * o_size, kb * 2 * h2), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((kb * o_size, tile), lambda i, k: (k, i),
+        out_specs=pl.BlockSpec((kb * o_size, tile),
+                               lambda i, k, _nb=nb: (_nb - 1 - k, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_max * o_size, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h2, tile), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(g_flat, tab_blk)
+    )(frames_flat, frames_flat, tab_blk)
     return x if n_steps == k_max * o_size else x[:n_steps]
 
 

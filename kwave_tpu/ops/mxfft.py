@@ -66,9 +66,9 @@ def perm(n: int, base: int = BASE) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _plan_c2c(n: int):
+def _plan_c2c(n: int, base: int = BASE):
     """Trace-time constants for one c2c axis: twiddles per level + base DFT matrices."""
-    levels, m = _split_levels(n)
+    levels, m = _split_levels(n, base)
     tw = []
     size = n
     for _ in range(levels):
@@ -134,10 +134,11 @@ def _bshape(ndim: int, axis: int, h: int) -> tuple[int, ...]:
     return tuple(s)
 
 
-def _c2c_axis(re, im, axis: int, n: int, inverse: bool, precision):
+def _c2c_axis(re, im, axis: int, n: int, inverse: bool, precision,
+              base: int = BASE):
     """c2c DFT along `axis` (length n). Forward emits the permuted bin order;
     inverse consumes it. Operates on separate fp32 re/im planes (no complex64)."""
-    levels, m, tw, fwd_mat, inv_mat = _plan_c2c(n)
+    levels, m, tw, fwd_mat, inv_mat = _plan_c2c(n, base)
     shape = re.shape
     ndim = re.ndim
     # blocked view: [..., K, size, ...] with the block axis inserted at `axis`
@@ -228,7 +229,8 @@ def supported(shape: tuple[int, ...]) -> bool:
 
 
 def make_fft_ops(shape: tuple[int, ...],
-                 precision=lax.Precision.HIGHEST):
+                 precision=lax.Precision.HIGHEST,
+                 direct_base: Optional[int] = None):
     """Build (FftOps-compatible rfftn/irfftn, perms) for a real-space grid `shape`.
 
     The returned transforms produce/consume complex64 spectra shaped like
@@ -240,24 +242,32 @@ def make_fft_ops(shape: tuple[int, ...],
     treated as a stack of grids, and all the base-DFT einsums run at the full
     stacked batch (the step() batching of the 3 velocity-gradient transforms
     rides this).
+
+    ``direct_base`` raises the base-DFT size (e.g. 256): axes up to that length
+    skip the radix-2 butterfly levels entirely and run ONE full-DFT matmul —
+    2x the contraction flops per skipped level, but one fewer full read+write
+    pass over the spectrum per level, for bandwidth-bound grids.
     """
     ndim = len(shape)
     nx = shape[-1]
+    base = direct_base or BASE
     other_axes = list(range(ndim - 1))
-    perms = {ax: perm(int(shape[ax])) for ax in other_axes}
+    perms = {ax: perm(int(shape[ax]), base) for ax in other_axes}
 
     def rfftn(x):
         off = x.ndim - ndim
         re, im = _rfft_last(x, nx, precision)
         for ax in other_axes:
-            re, im = _c2c_axis(re, im, ax + off, int(shape[ax]), False, precision)
+            re, im = _c2c_axis(re, im, ax + off, int(shape[ax]), False, precision,
+                               base)
         return lax.complex(re, im)
 
     def irfftn(xk, s):
         off = xk.ndim - ndim
         re, im = jnp.real(xk), jnp.imag(xk)
         for ax in other_axes:
-            re, im = _c2c_axis(re, im, ax + off, int(shape[ax]), True, precision)
+            re, im = _c2c_axis(re, im, ax + off, int(shape[ax]), True, precision,
+                               base)
         return _irfft_last(re, im, nx, precision)
 
     return rfftn, irfftn, perms

@@ -219,3 +219,21 @@ def test_driver_matmul_fft_and_compact(tmp_path):
         a = np.asarray(fa["p"])
         b = np.asarray(fb["p"])
     np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+
+
+@pytest.mark.parametrize("shape", [(256, 4, 16), (64, 32, 30)])
+def test_direct_base_roundtrip_and_canonical_order(shape):
+    """direct_base=256: axes <= 256 skip the butterflies (identity perm, one
+    full-DFT matmul) and still invert exactly."""
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(shape).astype(np.float32)
+    fwd, inv, perms = mxfft.make_fft_ops(shape, direct_base=256)
+    for ax, p in perms.items():
+        np.testing.assert_array_equal(p, np.arange(shape[ax]))
+    fk = np.asarray(jax.jit(fwd)(jnp.asarray(x)))
+    ref = np.fft.rfftn(x).astype(np.complex64)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(fk.real, ref.real, atol=3e-5 * scale)
+    np.testing.assert_allclose(fk.imag, ref.imag, atol=3e-5 * scale)
+    y = np.asarray(jax.jit(lambda v: inv(fwd(v), shape))(jnp.asarray(x)))
+    np.testing.assert_allclose(y, x, atol=3e-5 * np.abs(x).max())

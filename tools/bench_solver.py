@@ -36,7 +36,8 @@ from kwave_tpu.streams import StreamSpec  # noqa: E402
 
 
 def setup(n: int, mxfft_on: bool = False, compact: bool = False,
-          p0init: bool = True, precision: str = "highest"):
+          p0init: bool = True, precision: str = "highest",
+          direct_base: int = 0):
     dx = 1e-4
     dt = 0.3 * dx / 1600.0
     grid = Grid(nx=n, ny=n, nz=n, dx=dx, dy=dx, dz=dx, dt=dt, nt=10_000)
@@ -53,7 +54,8 @@ def setup(n: int, mxfft_on: bool = False, compact: bool = False,
 
         prec = {"high": jax.lax.Precision.HIGH,
                 "highest": jax.lax.Precision.HIGHEST}[precision]
-        fwd, inv, perms = mxfft.make_fft_ops(grid.shape, precision=prec)
+        fwd, inv, perms = mxfft.make_fft_ops(grid.shape, precision=prec,
+                                             direct_base=direct_base or None)
         ops = mxfft.permute_operators(ops, 3, perms)
         fft = FftOps(rfftn=fwd, irfftn=inv)
     ops = jax.tree_util.tree_map(jnp.asarray, ops)  # device-resident (see driver.py)
@@ -86,9 +88,10 @@ def probe(x) -> float:
 
 def bench_plain(n: int, steps: int, mxfft_on: bool = False,
                 compact: bool = False, p0init: bool = True,
-                precision: str = "highest") -> float:
+                precision: str = "highest", direct_base: int = 0) -> float:
     """Seconds per iteration, solver only (non-sampling)."""
-    grid, ops, cfg, src, fft = setup(n, mxfft_on, compact, p0init, precision)
+    grid, ops, cfg, src, fft = setup(n, mxfft_on, compact, p0init, precision,
+                                     direct_base)
     from kwave_tpu.solver.step import LOCAL_FFT
 
     run = make_simulate_fn(ops, src, cfg, steps, fft=fft or LOCAL_FFT)
@@ -147,11 +150,16 @@ def main():
                     help="use the lax.cond initial-pressure path (memory-lean)")
     ap.add_argument("--precision", default="highest", choices=["high", "highest"],
                     help="mxfft matmul precision (high = 3-pass bf16, ~1e-6 rel)")
+    ap.add_argument("--direct", type=int, default=0,
+                    help="mxfft direct-DFT base (e.g. 256: skip butterflies for "
+                         "axes <= 256, one full-DFT matmul per axis)")
     args = ap.parse_args()
-    print(f"backend: {jax.devices()}  mxfft={args.mxfft} precision={args.precision}")
+    print(f"backend: {jax.devices()}  mxfft={args.mxfft} precision={args.precision}"
+          f" direct={args.direct}", flush=True)
     for n in (int(s) for s in args.sizes.split(",")):
         plain = bench_plain(n, args.steps, mxfft_on=args.mxfft, compact=args.mxfft,
-                            p0init=not args.no_p0init, precision=args.precision)
+                            p0init=not args.no_p0init, precision=args.precision,
+                            direct_base=args.direct)
         cells = n**3
         line = (
             f"  {n}^3: non-sampling {plain * 1e3:8.3f} ms/step "
