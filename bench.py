@@ -46,19 +46,25 @@ REPS_INNER = 16  # chained round trips per dispatch
 REPS_OUTER = 4
 
 
-def make_series(t_steps: int, n: int) -> np.ndarray:
-    rng = np.random.default_rng(0)
-    t = np.arange(t_steps, dtype=np.float32)[:, None]
-    phase = rng.uniform(0, 2 * np.pi, n).astype(np.float32)[None, :]
-    x = 1e5 * np.sin(2 * np.pi * t / PERIOD + phase)
-    x += 1e4 * np.sin(4 * np.pi * t / PERIOD + 1.7 * phase)
-    return x.astype(np.float32)
+def make_series(t_steps: int, n: int) -> jax.Array:
+    """Generated ON DEVICE: a 268 MB host->device upload over the axon tunnel can
+    stall for many minutes under congestion (BASELINE.md methodology)."""
+    @jax.jit
+    def gen():
+        t = jnp.arange(t_steps, dtype=jnp.float32)[:, None]
+        phase = jax.random.uniform(jax.random.PRNGKey(0), (1, n),
+                                   dtype=jnp.float32,
+                                   minval=0.0, maxval=2.0 * np.pi)
+        x = 1e5 * jnp.sin(2 * jnp.pi * t / PERIOD + phase)
+        return x + 1e4 * jnp.sin(4 * jnp.pi * t / PERIOD + 1.7 * phase)
+
+    return gen()
 
 
 def main() -> None:
     cb = generate_basis(PERIOD, 1, HARMONICS, normalize=True)
     o = cb.o_size
-    series = jnp.asarray(make_series(T_STEPS, N_SENSORS))
+    series = make_series(T_STEPS, N_SENSORS)
     n_frames = T_STEPS // o
 
     be_re, be_im, _, _ = cb.tables(False)

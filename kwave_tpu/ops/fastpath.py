@@ -330,9 +330,11 @@ def _dec_kernel_flat(f_ref, nxt_ref, tabblk_ref, x_ref, first_scratch, *,
     k = pl.program_id(1)
     b = nb - 1 - k  # block index in frame order
     f = _mask_oob_rows(f_ref[:], b, kb * h2f, f_rows)
-    succ_last = jnp.where(k == 0,
-                          _mask_oob_rows(nxt_ref[:], (b + 1) * kb, h2f, f_rows),
-                          first_scratch[:])
+    # nxt is an 8-row block starting exactly at frame (b+1)*kb (kb*h2f % 8 == 0,
+    # so the frame boundary is an 8-row block boundary — Mosaic requires 8-row
+    # blocks); the successor frame is its first h2f rows.
+    nxt = _mask_oob_rows(nxt_ref[:], (b + 1) * kb * h2f // 8, 8, f_rows)
+    succ_last = jnp.where(k == 0, nxt[:h2f], first_scratch[:])
     parts = []
     for j in range(kb):
         parts.append(f[j * h2f:(j + 1) * h2f])
@@ -382,8 +384,10 @@ def reconstruct_series_flat(
         in_specs=[
             pl.BlockSpec((kb * h2, tile), lambda i, k, _nb=nb: (_nb - 1 - k, i),
                          memory_space=pltpu.VMEM),
-            # the single successor frame of the block's last window (tiny)
-            pl.BlockSpec((h2, tile), lambda i, k, _nb=nb, _kb=kb: ((_nb - k) * _kb, i),
+            # the successor frame of the block's last window, as the 8-row block
+            # at the next frame-block boundary (tiny)
+            pl.BlockSpec((8, tile),
+                         lambda i, k, _nb=nb, _r=kb * h2: ((_nb - k) * _r // 8, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kb * o_size, kb * 2 * h2), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
