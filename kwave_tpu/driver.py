@@ -402,10 +402,18 @@ def run_simulation(
     from kwave_tpu.solver.step import LOCAL_FFT
 
     mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
+    # The precomputed t==0 initial-pressure state costs 7 full fields of HBM
+    # (3.8 GB at 512^3) to save re-evaluating addInitialPressureSource's FFTs in
+    # every scan step; above ~100M cells that trade breaks the single-chip memory
+    # budget (the measured 512^3 het-absorbing config runs ONLY with the lax.cond
+    # fallback), so it is skipped there unless a mesh shards the fields.
+    p0_precompute = data.p0 is not None and (
+        mesh is not None or grid.n_elements < 100_000_000
+    )
     with mesh_ctx():
         p0_init = (
             make_p0_init(grid, ops, data.p0, fft or LOCAL_FFT)
-            if data.p0 is not None else None
+            if p0_precompute else None
         )
     src = Sources(
         p0=jnp.asarray(data.p0) if data.p0 is not None else None,
