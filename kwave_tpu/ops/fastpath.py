@@ -385,10 +385,16 @@ def reconstruct_series_flat(
             pl.BlockSpec((kb * h2, tile), lambda i, k, _nb=nb: (_nb - 1 - k, i),
                          memory_space=pltpu.VMEM),
             # the successor frame of the block's last window, as the 8-row block
-            # at the next frame-block boundary (tiny)
-            pl.BlockSpec((8, tile),
-                         lambda i, k, _nb=nb, _r=kb * h2: ((_nb - k) * _r // 8, i),
-                         memory_space=pltpu.VMEM),
+            # at the next frame-block boundary (tiny). The index is CLAMPED to the
+            # last in-range block: at the highest window-block the logical offset
+            # can point entirely past the array, which faults the DMA on hardware
+            # (interpret mode tolerates it); the kernel's _mask_oob_rows uses the
+            # logical offset, so clamped reads are zeroed before use.
+            pl.BlockSpec(
+                (8, tile),
+                lambda i, k, _nb=nb, _r=kb * h2, _last=(pad_to * h2 - 1) // 8:
+                    (jnp.minimum((_nb - k) * _r // 8, _last), i),
+                memory_space=pltpu.VMEM),
             pl.BlockSpec((kb * o_size, kb * 2 * h2), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
