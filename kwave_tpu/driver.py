@@ -43,6 +43,11 @@ from kwave_tpu.solver import (
 )
 from kwave_tpu.streams import StreamSpec, StreamWriter
 
+# Above this many grid cells the t==0 initial-pressure state is NOT precomputed
+# (7 full fields of HBM — 3.8 GB at 512^3 breaks the single-chip budget; the
+# lax.cond fallback re-evaluates the initial-source FFTs per step instead).
+P0_PRECOMPUTE_MAX_CELLS = 100_000_000
+
 
 @dataclasses.dataclass
 class RunConfig:
@@ -408,7 +413,7 @@ def run_simulation(
     # budget (the measured 512^3 het-absorbing config runs ONLY with the lax.cond
     # fallback), so it is skipped there unless a mesh shards the fields.
     p0_precompute = data.p0 is not None and (
-        mesh is not None or grid.n_elements < 100_000_000
+        mesh is not None or grid.n_elements < P0_PRECOMPUTE_MAX_CELLS
     )
     with mesh_ctx():
         p0_init = (

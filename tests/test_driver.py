@@ -185,3 +185,35 @@ def test_driver_2d_end_to_end(tmp_path):
         assert "ux" in f and "uy" in f and "uz" not in f
         series = np.asarray(f["p"])[0]
     assert np.isfinite(series).all() and np.abs(series).max() > 0
+
+
+def test_p0_precompute_gated_by_grid_size(tmp_path, monkeypatch):
+    """Above P0_PRECOMPUTE_MAX_CELLS the driver takes the lax.cond initial-pressure
+    path (no 7-field precomputed state in HBM) and the output is unchanged."""
+    import h5py
+
+    import kwave_tpu.driver as drv
+    from kwave_tpu.io.input_file import InputData
+    from kwave_tpu.solver import Grid, Medium
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=24)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    mask = np.arange(0, grid.n_elements, 101, dtype=np.int64)[:32]
+    data = InputData(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+        sensor_mask_index=mask, p0=p0,
+    )
+    run = RunConfig(flags=dict(p_raw=True))
+
+    out_pre = str(tmp_path / "pre.h5")
+    run_simulation(data, run, out_pre)
+
+    monkeypatch.setattr(drv, "P0_PRECOMPUTE_MAX_CELLS", 0)
+    out_cond = str(tmp_path / "cond.h5")
+    run_simulation(data, run, out_cond)
+
+    with h5py.File(out_pre) as f1, h5py.File(out_cond) as f2:
+        np.testing.assert_allclose(np.asarray(f2["p"]), np.asarray(f1["p"]),
+                                   rtol=1e-6, atol=1e-6)
