@@ -240,6 +240,18 @@ def post_process_output_file(
     is3d = grid.dim == 3
     axes = ("x", "y", "z") if is3d else ("x", "y")
     with h5py.File(output_path, "r+") as f:
+        # fail with a actionable message when the run didn't record the needed series
+        # (the reference requires the same inputs: postProcessing :950-1045)
+        suffix = dn.COMPRESS_SUFFIX if from_coeffs else ""
+        needed = ["p" + suffix] + [f"u{a}_non_staggered{suffix}" for a in axes]
+        missing = [nm for nm in needed if nm not in f]
+        if missing:
+            mode = "coefficient (*_c)" if from_coeffs else "raw"
+            raise ValueError(
+                f"--post needs the {mode} datasets {missing} in {output_path}; "
+                "re-run the simulation with the matching p/u_non_staggered stream "
+                "flags (e.g. --p_c --u_non_staggered_c for coefficient mode)"
+            )
         # cuboid-mask runs store series as HDF5 groups with per-cuboid datasets "1","2",...
         # (CuboidOutputStream.cpp:656-722); assemble them into the linearized point order
         # (cuboid-concatenated, x fastest — the same order as the sensor mask index list)

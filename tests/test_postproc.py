@@ -267,3 +267,17 @@ def test_i_avg_and_q_term_cuboid_layout(tmp_path):
             [np.asarray(grp[k]).reshape(-1) for k in sorted(grp.keys(), key=int)])
         np.testing.assert_allclose(
             got, np.asarray(fi["Ix_avg_c"]).reshape(-1), rtol=1e-5, atol=1e-9)
+
+
+def test_post_missing_streams_clear_error(tmp_path):
+    """--post on a file lacking the u_non_staggered_c datasets must raise an
+    actionable ValueError, not a KeyError from deep inside h5py."""
+    import pytest
+
+    data = _sim_input(nt=30)
+    out = str(tmp_path / "out.h5")
+    run = RunConfig(flags=dict(p_c=True), period=10.0, harmonics=2)
+    run_simulation(data, run, out)
+    with pytest.raises(ValueError, match="u_non_staggered"):
+        postproc.post_process_output_file(out, data.grid, data.sensor_mask_index,
+                                          want_i_avg=True, from_coeffs=True)
