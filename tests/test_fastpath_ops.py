@@ -167,3 +167,36 @@ def test_flat_kernel_precisions_close():
                                        precision="split3")
     scale = float(jnp.max(jnp.abs(f_hi)))
     assert float(jnp.max(jnp.abs(f_s3 - f_hi))) < 1e-4 * scale
+
+
+def test_flat_decode_boundary_cases():
+    """Reverse-carry decode edges: n_steps not a window multiple, more frames than
+    needed (k_total > k_max), fewer frames than coverage (zero tail), and a single
+    window — all must match the forward 3D kernel bit-for-bit."""
+    cb = generate_basis(20.0, 1, 2, normalize=True)
+    o = cb.o_size
+    n = 160
+    be_re, be_im, _, _ = cb.tables(False)
+    tab_re = jnp.asarray(be_re[:, : 2 * o].T)
+    tab_im = jnp.asarray(be_im[:, : 2 * o].T)
+    tab4 = jnp.concatenate([tab_re[o:], tab_im[o:], tab_re[:o], tab_im[:o]], axis=1)
+    tab2o = jnp.concatenate([tab_re, tab_im], axis=1)
+
+    x = jnp.asarray(_series(o * 12, n, seed=11))
+    frames = fastpath.encode_frames(x, tab2o[:o], tab2o[o:], o,
+                                    compute="mxu_highest")
+
+    for k_frames, n_steps in [
+        (12, 12 * o - 7),   # partial tail window
+        (12, 5 * o),        # many more frames than reconstructed steps
+        (4, 6 * o),         # coverage beyond the frames: zero-padded tail
+        (1, o),             # single window
+        (12, 1),            # single step
+    ]:
+        f = frames[:k_frames]
+        ref = fastpath.reconstruct_series(f, tab4, o, n_steps,
+                                          compute="mxu_highest")
+        got = fastpath.reconstruct_series_flat(f, tab4, o, n_steps)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref),
+            err_msg=f"k_frames={k_frames} n_steps={n_steps}")
