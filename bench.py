@@ -72,16 +72,18 @@ def main() -> None:
     tab_im = jnp.asarray(be_im[:, : 2 * o].T)
 
     def one_roundtrip(x):
-        f_re, f_im = encoder.encode_series_fast(x, cb)
-        rec = decoder.reconstruct(f_re, f_im, tab_re, tab_im, o, T_STEPS)
-        return f_re, f_im, rec
+        # production packed-frame chain: the kernels' native [K, 2H, N] layout is
+        # carried encode -> decode with no re/im split or concat HBM passes between
+        frames = encoder.encode_series_frames(x, cb)
+        rec = decoder.reconstruct_frames(frames, tab_re, tab_im, o, T_STEPS)
+        return frames, rec
 
     @jax.jit
     def roundtrip_chain(x):
         # serial chain: iteration i+1 encodes iteration i's reconstruction — no
         # loop-invariant hoisting possible, every round trip really runs
         def body(carry, _):
-            _, _, rec = one_roundtrip(carry)
+            _, rec = one_roundtrip(carry)
             return rec, None
 
         rec, _ = lax.scan(body, x, None, length=REPS_INNER)
@@ -95,7 +97,7 @@ def main() -> None:
 
     # correctness guard on one round trip (the chain re-encodes its own reconstruction,
     # which is a fixed point of the transform for band-limited signals)
-    f_re, f_im, rec = jax.jit(one_roundtrip)(series)
+    frames, rec = jax.jit(one_roundtrip)(series)
     float(probe(rec))
     err = float(
         jnp.max(jnp.abs(rec[2 * o : n_frames * o - 2 * o] - series[2 * o : n_frames * o - 2 * o]))

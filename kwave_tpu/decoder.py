@@ -77,16 +77,11 @@ def reconstruct(
     from kwave_tpu.encoder import _use_pallas
 
     if _use_pallas():
-        # whole-series fused kernel: reads the (small) frames, writes the series once
-        from kwave_tpu.ops import fastpath
-
+        # packed-kernel path: the concat is the price of the split (re, im) API —
+        # packed-frame callers use reconstruct_frames and skip it
         frames = jnp.concatenate([f_re, f_im], axis=1)  # [Nc, 2H, N]
-        tab4 = jnp.concatenate([be_re[o:], be_im[o:], be_re[:o], be_im[:o]], axis=1)
-        if compute == "flat":
-            return fastpath.reconstruct_series_flat(frames, tab4, o, n_steps,
-                                                    normalized)
-        return fastpath.reconstruct_series(frames, tab4, o, n_steps, normalized,
-                                           compute=compute)
+        return reconstruct_frames(frames, be_re, be_im, o, n_steps, normalized,
+                                  compute)
     # x[k*o + r] = late[k, r] + early[k+1, r]. The coefficient frames are ~oSize x smaller
     # than the synthesized series, so pair frame k with frame k+1 on the (cheap) coefficient
     # side first, then run ONE contraction that writes the big output exactly once:
@@ -106,6 +101,38 @@ def reconstruct(
     x = x.reshape(k_max * o, -1)[:n_steps]
     scale = jnp.float32(o / 2.0) if normalized else jnp.float32(1.0)
     return x * scale
+
+
+@functools.partial(jax.jit, static_argnames=("o_size", "n_steps", "normalized",
+                                             "compute"))
+def reconstruct_frames(
+    frames: jax.Array,  # [Nc, 2H, N] rows [:H]=re, [H:]=im
+    be_re: jax.Array,
+    be_im: jax.Array,
+    o_size: int,
+    n_steps: int,
+    normalized: bool = True,
+    compute: str = "flat",
+):
+    """Overlap-add synthesis from PACKED coefficient frames (``[Nc, 2H, N]``, the
+    Pallas kernels' native layout — `encoder.encode_series_frames`). Production
+    decode path: no re/im concat touches the frame planes (an extra HBM pass the
+    split-API `reconstruct` cannot avoid). Semantics identical to `reconstruct`."""
+    o = o_size
+    from kwave_tpu.encoder import _use_pallas
+
+    if _use_pallas():
+        from kwave_tpu.ops import fastpath
+
+        tab4 = jnp.concatenate([be_re[o:], be_im[o:], be_re[:o], be_im[:o]], axis=1)
+        if compute == "flat":
+            return fastpath.reconstruct_series_flat(frames, tab4, o, n_steps,
+                                                    normalized)
+        return fastpath.reconstruct_series(frames, tab4, o, n_steps, normalized,
+                                           compute=compute)
+    h = frames.shape[1] // 2
+    return reconstruct(frames[:, :h], frames[:, h:], be_re, be_im, o, n_steps,
+                       normalized, compute)
 
 
 def reconstruct_series(frames_re, frames_im, basis: CompressionBasis, shifted: bool,

@@ -421,6 +421,33 @@ def _fast_project(series, be_re, be_im, o_size: int, precision):
     return frames[:, 0], frames[:, 1]  # re, im each [Nc, H, N]
 
 
+def encode_series_frames(series, basis: CompressionBasis, shifted=False,
+                         precision=lax.Precision.HIGHEST, compute: str = "flat"):
+    """Packed-frame fast encode: frames ``[Nc, 2H, N]`` with rows ``[:H]`` = re,
+    ``[H:]`` = im — the Pallas kernels' native layout.
+
+    This is the production overlap-mode float path: carrying the packed layout
+    end-to-end (encode -> consumer -> `decoder.reconstruct_frames`) keeps the big
+    frame planes untouched between the kernels; the re/im split
+    (`encode_series_fast`) and re-concat (`decoder.reconstruct`) would otherwise
+    cost two avoidable HBM passes over F per round trip."""
+    series = jnp.asarray(series, jnp.float32)
+    o = basis.o_size
+    be_re, be_im, _, _ = basis.tables(shifted)
+    tab_re = jnp.asarray(be_re[:, : 2 * o].T)
+    tab_im = jnp.asarray(be_im[:, : 2 * o].T)
+    if _use_pallas() and series.shape[0] >= o:
+        # whole-series fused kernel: one HBM read of the series, frames written once
+        from kwave_tpu.ops import fastpath
+
+        tab = jnp.concatenate([tab_re, tab_im], axis=1)  # [2o, 2H]
+        if compute == "flat":
+            return fastpath.encode_frames_flat(series, tab[:o], tab[o:], o)
+        return fastpath.encode_frames(series, tab[:o], tab[o:], o, compute=compute)
+    f_re, f_im = _fast_project(series, tab_re, tab_im, o, precision)
+    return jnp.concatenate([f_re, f_im], axis=1)
+
+
 def encode_series_fast(series, basis: CompressionBasis, shifted=False, mode40=False,
                        overlap=True, precision=lax.Precision.HIGHEST,
                        bits: Optional[int] = None, compute: str = "flat"):
@@ -431,28 +458,23 @@ def encode_series_fast(series, basis: CompressionBasis, shifted=False, mode40=Fa
     uint32 SoA planes. ``bits`` selects the packed width (8/16/24/32/40,
     bitpack.SUPPORTED_MANT_BITS; BASELINE config #3's mixed packing) — ``mode40`` is the
     bits=40 shorthand. No-overlap mode uses the single summed basis per frame.
+
+    Float-mode overlap callers that feed `decoder.reconstruct_frames` (or any consumer
+    indifferent to the split) should use `encode_series_frames` instead — the re/im
+    split here costs an extra HBM pass over the frame planes.
     """
     if bits is None and mode40:
         bits = 40
     series = jnp.asarray(series, jnp.float32)
     o = basis.o_size
-    be_re, be_im, be1_re, be1_im = (jnp.asarray(a[:, : 2 * o].T) for a in basis.tables(shifted))
     if overlap:
-        if _use_pallas() and series.shape[0] >= o:
-            # whole-series fused kernel: one HBM read of the series, frames written once
-            from kwave_tpu.ops import fastpath
-
-            tab = jnp.concatenate([be_re, be_im], axis=1)  # [2o, 2H]
-            if compute == "flat":
-                frames = fastpath.encode_frames_flat(series, tab[:o], tab[o:], o)
-            else:
-                frames = fastpath.encode_frames(series, tab[:o], tab[o:], o,
-                                                compute=compute)
-            h = basis.harmonics
-            f_re, f_im = frames[:, :h], frames[:, h:]
-        else:
-            f_re, f_im = _fast_project(series, be_re, be_im, o, precision)
+        frames = encode_series_frames(series, basis, shifted, precision, compute)
+        h = basis.harmonics
+        f_re, f_im = frames[:, :h], frames[:, h:]
     else:
+        be_re, be_im, be1_re, be1_im = (
+            jnp.asarray(a[:, : 2 * o].T) for a in basis.tables(shifted)
+        )
         # Single accumulator with basis bE + bE_1, reset every o steps: one matmul per chunk
         # against the summed half-tables.
         tab_re = be_re[:o] + be1_re[:o]

@@ -36,12 +36,26 @@ LANE = 128
 # The default scoped-VMEM compiler limit is 16 MB — far below v5e's 128 MB physical
 # VMEM, and the binding constraint on window-block size (it capped KB at 2 and left
 # the kernels per-grid-step-overhead-bound at ~13% of HBM bandwidth). Raise it and
-# size the double-buffered blocks against the real budget.
-_VMEM_LIMIT = 100 * 1024 * 1024
+# size the double-buffered blocks against the real budget. Per-generation physical
+# VMEM differs (v4: 128 MB, v5e: 128 MB, v5p: 128 MB, older v2/v3: 16/32 MB per
+# core) — derive the limit from the attached device rather than assuming v5e.
+_VMEM_BY_GENERATION = {"v2": 16, "v3": 32}  # MB; everything newer has 128
+
+
+@functools.cache
+def _vmem_limit_bytes() -> int:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    for gen, mb in _VMEM_BY_GENERATION.items():
+        if gen in kind:
+            return (mb - 2) * 1024 * 1024
+    return 100 * 1024 * 1024
 
 
 def _compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    return pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes())
 
 
 def _round_up(x: int, m: int) -> int:
@@ -80,10 +94,13 @@ def _pick_tile(n: int, o_size: int, budget_bytes: int = 4 << 20) -> int:
 def _pick_kb(k_frames: int, o_size: int, tile: int,
              budget_bytes: int = 24 << 20) -> int:
     """Windows per grid step, as many as the VMEM budget allows (the chunk block is
-    KB*o*tile fp32, double-buffered; v5e VMEM is 128 MB). The callers zero-pad the
-    window axis up to a KB multiple, so KB need not divide K — measured on chip,
-    per-grid-step cost has a large fixed component (~10 us at KB=2), so fewer,
-    bigger steps dominate the tiled-DMA loss from padding."""
+    KB*o*tile fp32, double-buffered; v5e VMEM is 128 MB). KB need not divide K:
+    the boundary block relies on Pallas partial-block semantics — out-of-range
+    READS return unspecified values (masked in-kernel where they would propagate,
+    see _mask_oob_rows / the encode carry notes) and out-of-range WRITES are
+    masked automatically. Measured on chip, per-grid-step cost has a large fixed
+    component (~10 us at KB=2), so fewer, bigger steps dominate the tiled-DMA
+    loss from the partial boundary block."""
     cap = max(budget_bytes // (o_size * tile * 4 * 2), 1)
     return max(1, min(cap, 16, k_frames))
 
@@ -324,20 +341,18 @@ def encode_frames_flat(
     return frames_flat.reshape(k_frames, h2, n)
 
 
-def _dec_kernel_flat(f_ref, nxt_ref, tabblk_ref, x_ref, first_scratch, *,
+def _dec_kernel_flat(f_ref, succ_ref, tabblk_ref, x_ref, first_scratch, *,
                      kb: int, h2f: int, f_rows: int, nb: int, precision: str):
     """Window-blocks walk in REVERSE grid order so the pairing of frame w with
     frame w+1 needs no pre-shifted copy of the frames: the previous (higher)
     block's first frame is carried in VMEM scratch; the very first step (the
-    highest block) takes its successor frame from the tiny `nxt` input."""
+    highest block) takes its successor frame from the tiny `succ` input (the
+    frame after the highest block, precomputed by the wrapper — it is the only
+    frame no processed block supplies)."""
     k = pl.program_id(1)
     b = nb - 1 - k  # block index in frame order
     f = _mask_oob_rows(f_ref[:], b, kb * h2f, f_rows)
-    # nxt is an 8-row block starting exactly at frame (b+1)*kb (kb*h2f % 8 == 0,
-    # so the frame boundary is an 8-row block boundary — Mosaic requires 8-row
-    # blocks); the successor frame is its first h2f rows.
-    nxt = _mask_oob_rows(nxt_ref[:], (b + 1) * kb * h2f // 8, 8, f_rows)
-    succ_last = jnp.where(k == 0, nxt[:h2f], first_scratch[:])
+    succ_last = jnp.where(k == 0, succ_ref[:h2f], first_scratch[:])
     parts = []
     for j in range(kb):
         parts.append(f[j * h2f:(j + 1) * h2f])
@@ -380,6 +395,16 @@ def reconstruct_series_flat(
     tab_blk = _block_diag(tab, kb)  # [kb*o, kb*4H]
     nb = pl.cdiv(k_max, kb)
     grid = (pl.cdiv(n, tile), nb)
+    # The successor frame of the HIGHEST block's last window (frame nb*kb) is the
+    # one frame no processed block supplies; extract it here (a tiny [2H, N] slice)
+    # and pass it as its own 8-aligned input. Past the padded range it is zero —
+    # its windows' writes are masked off anyway.
+    h_pad = _round_up(h2, 8)
+    succ_idx = nb * kb
+    if succ_idx < pad_to:
+        succ = jnp.pad(frames[succ_idx], ((0, h_pad - h2), (0, 0)))
+    else:
+        succ = jnp.zeros((h_pad, n), jnp.float32)
     x = pl.pallas_call(
         functools.partial(_dec_kernel_flat, kb=kb, h2f=h2,
                           f_rows=pad_to * h2, nb=nb, precision=precision),
@@ -387,17 +412,8 @@ def reconstruct_series_flat(
         in_specs=[
             pl.BlockSpec((kb * h2, tile), lambda i, k, _nb=nb: (_nb - 1 - k, i),
                          memory_space=pltpu.VMEM),
-            # the successor frame of the block's last window, as the 8-row block
-            # at the next frame-block boundary (tiny). The index is CLAMPED to the
-            # last in-range block: at the highest window-block the logical offset
-            # can point entirely past the array, which faults the DMA on hardware
-            # (interpret mode tolerates it); the kernel's _mask_oob_rows uses the
-            # logical offset, so clamped reads are zeroed before use.
-            pl.BlockSpec(
-                (8, tile),
-                lambda i, k, _nb=nb, _r=kb * h2, _last=(pad_to * h2 - 1) // 8:
-                    (jnp.minimum((_nb - k) * _r // 8, _last), i),
-                memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_pad, tile), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((kb * o_size, kb * 2 * h2), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -408,7 +424,7 @@ def reconstruct_series_flat(
         scratch_shapes=[pltpu.VMEM((h2, tile), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(frames_flat, frames_flat, tab_blk)
+    )(frames_flat, succ, tab_blk)
     return x if n_steps == k_max * o_size else x[:n_steps]
 
 

@@ -219,7 +219,7 @@ def _tau_eta_op(ops: Operators):
     return tau, eta
 
 
-def _rfftn_multi(fft: FftOps, fields: list, grid_ndim: int) -> list:
+def _rfftn_multi(fft: FftOps, fields: list) -> list:
     """Forward-transform several same-shape real fields; one stacked batched
     transform when the backend is batch-transparent (mxfft — the base-DFT matmuls
     then run at the full stacked batch), else per-field calls (jnp.fft keeps the
@@ -345,7 +345,7 @@ def step(
     # -- velocity gradient (computeVelocityGradient :2126-2150): per-axis
     # duxdx = ifft(ddx_neg * kappa * fft(ux)) etc.
     kap = _kappa(ops, ndim)
-    u_fks = _rfftn_multi(fft, [ux, uy] + ([uz] if is3d else []), ndim)
+    u_fks = _rfftn_multi(fft, [ux, uy] + ([uz] if is3d else []))
     du_specs = [u_fks[0] * kap * _bc(cvec(ops.ddx_neg), 0, ndim),
                 u_fks[1] * kap * _bc(cvec(ops.ddy_neg), 1, ndim)]
     if is3d:
@@ -407,7 +407,7 @@ def step(
         nabla1, nabla2 = _absorb_nablas(ops, ndim)
         tau, eta = _tau_eta_op(ops)
         vel_grad_sum = ops.rho0 * du_sum
-        ab_fks = _rfftn_multi(fft, [vel_grad_sum, rho_sum], ndim)
+        ab_fks = _rfftn_multi(fft, [vel_grad_sum, rho_sum])
         tau_term, eta_term = _irfftn_multi(
             fft, [ab_fks[0] * nabla1, ab_fks[1] * nabla2], shape)
         if cfg.nonlinear:

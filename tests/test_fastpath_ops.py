@@ -128,8 +128,11 @@ def test_flat_kernels_match_3d_kernels():
     """The aligned flat-block kernels (block-diagonal projection, masked boundary
     blocks) are bit-identical to the 3D-layout kernels across window lengths,
     harmonics, and non-divisible window counts."""
+    # h=5/6 exercise 2H > 8 (the successor-frame block is taller than one 8-row
+    # tile — the r3 fixed-8-row nxt block crashed at trace time there)
     for period, h, windows, extra, n in [(20.0, 2, 10, 0, 300), (20.0, 1, 7, 0, 128),
-                                         (14.0, 4, 7, 1, 200)]:
+                                         (14.0, 4, 7, 1, 200), (17.0, 5, 6, 2, 144),
+                                         (20.0, 6, 5, 0, 130)]:
         cb = generate_basis(period, 1, h, normalize=True)
         o = cb.o_size
         x = jnp.asarray(_series(o * windows + extra, n, seed=3))
@@ -200,3 +203,25 @@ def test_flat_decode_boundary_cases():
         np.testing.assert_array_equal(
             np.asarray(got), np.asarray(ref),
             err_msg=f"k_frames={k_frames} n_steps={n_steps}")
+
+
+def test_packed_frame_api_matches_split_api(monkeypatch):
+    """The production packed-frame wrappers (encoder.encode_series_frames /
+    decoder.reconstruct_frames) agree with the split (re, im) API on both the
+    Pallas and the jnp fallback paths — carrying [K, 2H, N] end-to-end is a
+    layout change only (VERDICT r3 #1)."""
+    cb = generate_basis(20.0, 1, 2, normalize=True)
+    o, h = cb.o_size, cb.harmonics
+    x = jnp.asarray(_series(o * 8, 200, seed=21))
+    be_re, be_im, _, _ = cb.tables(False)
+    tab_re = jnp.asarray(be_re[:, : 2 * o].T)
+    tab_im = jnp.asarray(be_im[:, : 2 * o].T)
+    for use_pallas in (True, False):
+        monkeypatch.setattr(encoder, "USE_PALLAS", use_pallas)
+        frames = encoder.encode_series_frames(x, cb)
+        f_re, f_im = encoder.encode_series_fast(x, cb)
+        np.testing.assert_array_equal(np.asarray(frames[:, :h]), np.asarray(f_re))
+        np.testing.assert_array_equal(np.asarray(frames[:, h:]), np.asarray(f_im))
+        rec_packed = decoder.reconstruct_frames(frames, tab_re, tab_im, o, o * 8)
+        rec_split = decoder.reconstruct(f_re, f_im, tab_re, tab_im, o, o * 8)
+        np.testing.assert_array_equal(np.asarray(rec_packed), np.asarray(rec_split))

@@ -160,6 +160,38 @@ def test_step_with_mxfft_matches_local_fft():
     np.testing.assert_allclose(p_mx, p_ref, atol=1e-4 * np.abs(p_ref).max())
 
 
+def test_batched_fft_ops_and_step():
+    """FftOps.batched contract: mxfft's transforms are batch-transparent (a stacked
+    leading axis is a stack of grids), and a step() run with batched=True matches
+    batched=False bit-for-bit shapes / fp32-noise values. (The driver keeps
+    batched=False — measured slower at 256^3, BASELINE.md — but the branch must
+    stay correct while it exists.)"""
+    shape = (256, 8, 8)
+    grid, ops, cfg, p0 = _het_setup(shape)
+    fwd, inv, perms = mxfft.make_fft_ops(shape)
+
+    rng = np.random.default_rng(3)
+    stack = jnp.asarray(rng.standard_normal((3, *shape)).astype(np.float32))
+    fk_stacked = fwd(stack)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(fk_stacked[i]), np.asarray(fwd(stack[i])),
+                                   rtol=1e-5, atol=1e-4)
+    back = inv(fk_stacked, shape)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(stack), atol=1e-4)
+
+    ops_p = mxfft.permute_operators(ops, 3, perms)
+
+    def run(fft):
+        src = Sources(p0=jnp.asarray(p0), p0_init=make_p0_init(grid, ops_p, p0, fft))
+        st, _ = simulate(init_state(grid), ops_p, src, cfg, n_steps=6, fft=fft)
+        return np.asarray(st.p)
+
+    p_unbatched = run(FftOps(rfftn=fwd, irfftn=inv, batched=False))
+    p_batched = run(FftOps(rfftn=fwd, irfftn=inv, batched=True))
+    np.testing.assert_allclose(p_batched, p_unbatched,
+                               atol=1e-5 * np.abs(p_unbatched).max())
+
+
 def test_compact_operators_match_precomputed():
     """make_operators(compact=True) — lazy kappa/nablas/c2/tau/eta — reproduces the
     precomputed-operator step to fp32 noise (16^3 het absorbing)."""

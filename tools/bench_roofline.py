@@ -13,9 +13,11 @@ Answers round-2 VERDICT item #2 quantitatively. For the headline workload
                chained through the (tiny) frames side.
 - `roundtrip`: bench.py's encode+decode chain.
 
-Each of encode/decode/roundtrip runs once per compute path: "vpu" (true-fp32
-broadcast-FMA), "mxu_highest" (6-pass bf16 emulation), "mxu_high" (3-pass),
-"mxu_default" (1 bf16 pass). Throughputs are reported as ACTUAL bytes moved / time
+Each of encode/decode/roundtrip runs once per compute path: "flat" (aligned
+flat-block kernels, the production path), "vpu" (true-fp32 broadcast-FMA),
+"mxu_highest" (6-pass bf16 emulation), "mxu_default" (1 bf16 pass). Mosaic has
+no Precision.HIGH, so there is no 3-pass MXU path (the flat kernels' "split3"
+spelling covers that regime). Throughputs are reported as ACTUAL bytes moved / time
 (series bytes S, frame bytes F: copy=2S, encode=S+F, decode=F+S, roundtrip=2S+2F),
 so a kernel at the ceiling prints the same GB/s as `copy`. The round-trip relative
 error per path is reported alongside (accuracy cost of the bf16 paths).
@@ -84,6 +86,9 @@ def main():
     paths = tuple(sys.argv[1].split(",")) if len(sys.argv) > 1 else PATHS
     if paths == ("none",):
         paths = ()
+    bad = set(paths) - set(PATHS)
+    if bad:
+        sys.exit(f"unknown compute path(s) {sorted(bad)}; supported: {PATHS}")
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
           file=sys.stderr, flush=True)
     cb = generate_basis(PERIOD, 1, HARMONICS, normalize=True)
