@@ -43,12 +43,6 @@ from kwave_tpu.solver import (
 )
 from kwave_tpu.streams import StreamSpec, StreamWriter
 
-# Above this many grid cells the t==0 initial-pressure state is NOT precomputed
-# (7 full fields of HBM — 3.8 GB at 512^3 breaks the single-chip budget; the
-# lax.cond fallback re-evaluates the initial-source FFTs per step instead).
-P0_PRECOMPUTE_MAX_CELLS = 100_000_000
-
-
 @dataclasses.dataclass
 class RunConfig:
     """Driver-level knobs (CLI surface, CommandLineParameters)."""
@@ -135,6 +129,7 @@ def make_window_fn(
     fft=None,
     n_steps: Optional[int] = None,
     emit: bool = True,
+    peel_p0: bool = False,
 ):
     """Jitted window program: (sim_state, stream_states, t0[, ops, src, mask]) ->
     (sim_state, stream_states, emissions). Runs o_size solver steps, gathers every wanted
@@ -149,8 +144,17 @@ def make_window_fn(
     own shardings.
 
     ``n_steps``/``emit`` build the trailing-partial-window program: fewer than oSize
-    steps, compressed streams accumulate without emitting (streams.process_chunk)."""
+    steps, compressed streams accumulate without emitting (streams.process_chunk).
+
+    ``peel_p0`` builds the FIRST-window variant of a p0 run: step t==0 is the
+    state-independent addInitialPressureSource result
+    (KSpaceFirstOrderSolver.cpp:925-928, 2359-2400 — the reference applies p0 once),
+    so it is computed ONCE at the top of the program and the scan covers steps
+    1..steps-1. The scanned step carries neither a lax.cond p0 branch nor a
+    precomputed 7-field init state; ``cfg.p0_source_flag`` must be False."""
     steps = o_size if n_steps is None else n_steps
+    if peel_p0:
+        assert not cfg.p0_source_flag, "peel_p0 replaces the in-step p0 branch"
     wanted = streams_mod.needed_sources(specs)
     whole_domain = [s for s in specs if s.op in ("max_all", "min_all")]
     closed = ops is not None
@@ -177,30 +181,73 @@ def make_window_fn(
 
     def window_impl(sim_state, stream_states, t0, ops, src, mask):
         wd0 = {s.name: stream_states[s.name] for s in whole_domain}
+        if peel_p0:
+            from kwave_tpu.solver.step import add_initial_pressure
+
+            st_first = add_initial_pressure(sim_state, ops, src.p0, fft)
+            row0 = {w: v[None]
+                    for w, v in _gather_sources(st_first, ops, mask, wanted,
+                                                fft).items()}
+            wd0 = _fold_wd(wd0, st_first)
+            sim_start, scan_n, t_base = st_first, steps - 1, 1
+        else:
+            row0 = None
+            sim_start, scan_n, t_base = sim_state, steps, 0
+
+        # Whole-domain extrema fold the CARRY-IN state each iteration plus the
+        # final carry after the scan — i.e. exactly the tensors the simulation
+        # chain itself consumes. Folding the freshly computed step output instead
+        # is NOT value-safe: XLA may rematerialize it per consumer with different
+        # fusion (different FMA contraction), leaving max_all an ulp below the
+        # final state (the reference reads one buffer, so max >= final is part of
+        # its contract). The first iteration's carry-in is the pre-window state:
+        # at the very start of sampling it precedes the first sampled step and is
+        # excluded; in every later window it was folded by the previous window
+        # (re-folding is harmless for max/min) — the peel's st_first is folded
+        # into wd0 above.
+        at_start = jnp.int32(cfg.sampling_start_index)
+
+        def _fold_prev(wd, st, i):
+            if not whole_domain:
+                return wd
+            folded = _fold_wd(wd, st)
+            skip = (i == 0) & (t0 == at_start)
+            return {k: jnp.where(skip, wd[k], folded[k]) for k in wd}
+
         if strategy == "carry":
             bufs = {w: jnp.zeros((steps, n_sensors), jnp.float32) for w in wanted}
+            if row0 is not None:
+                bufs = {w: bufs[w].at[0].set(row0[w][0]) for w in wanted}
 
             def body(carry, i):
                 st, bufs, wd = carry
-                st = step(st, t0 + i, ops, src, cfg, fft)
+                wd = _fold_prev(wd, st, i)
+                st = step(st, t0 + t_base + i, ops, src, cfg, fft)
                 rows = _gather_sources(st, ops, mask, wanted, fft)
                 bufs = {
-                    w: lax.dynamic_update_slice(bufs[w], rows[w][None, :], (i, 0))
+                    w: lax.dynamic_update_slice(bufs[w], rows[w][None, :],
+                                                (t_base + i, 0))
                     for w in wanted
                 }
-                return (st, bufs, _fold_wd(wd, st)), None
+                return (st, bufs, wd), None
 
             (sim2, chunks, wd), _ = lax.scan(
-                body, (sim_state, bufs, wd0), jnp.arange(steps)
+                body, (sim_start, bufs, wd0), jnp.arange(scan_n)
             )
         else:
 
             def body(carry, i):
                 st, wd = carry
-                st = step(st, t0 + i, ops, src, cfg, fft)
-                return (st, _fold_wd(wd, st)), _gather_sources(st, ops, mask, wanted, fft)
+                wd = _fold_prev(wd, st, i)
+                st = step(st, t0 + t_base + i, ops, src, cfg, fft)
+                return (st, wd), _gather_sources(st, ops, mask, wanted, fft)
 
-            (sim2, wd), chunks = lax.scan(body, (sim_state, wd0), jnp.arange(steps))
+            (sim2, wd), chunks = lax.scan(body, (sim_start, wd0), jnp.arange(scan_n))
+            if row0 is not None:
+                chunks = {w: jnp.concatenate([row0[w], chunks[w]], axis=0)
+                          for w in wanted}
+        if whole_domain:
+            wd = _fold_wd(wd, sim2)  # the last state — the tensor p_final reads
 
         pre = dict(stream_states, **wd)
         new_states, emissions = streams_mod.process_chunk(
@@ -254,17 +301,28 @@ def run_simulation(
     timers.start("preprocessing")
 
     # Multi-process SPMD: every process runs the identical compute; only process 0
-    # owns the output file (the reference's single-writer flush, generalized — host
-    # values cross the process boundary via fetch_global's allgather).
+    # owns the output file (the reference's single-writer flush,
+    # BaseOutputStream.cpp:369-388, generalized). Host values cross the process
+    # boundary through WriterGather: non-writer ranks ship only their addressable
+    # shards to process 0 (DCN bytes per window ~ one shard per rank) and never
+    # materialize a global row — _host() returns None on them, and every consumer
+    # below is writer-gated.
     multiproc = jax.process_count() > 1
     is_writer = jax.process_index() == 0
+    _gatherer = []
 
     def _host(tree):
         if multiproc:
-            from kwave_tpu.parallel.distributed import fetch_global
+            if not _gatherer:
+                from kwave_tpu.parallel.distributed import WriterGather
 
-            return fetch_global(tree)
+                _gatherer.append(WriterGather())
+            return _gatherer[0].gather(tree)
         return tree
+
+    def _close_gather():
+        if _gatherer:
+            _gatherer.pop().close()
 
     grid, medium = data.grid, data.medium
     is3d = grid.dim == 3
@@ -403,26 +461,11 @@ def run_simulation(
     )
     import contextlib
 
-    from kwave_tpu.solver import make_p0_init
     from kwave_tpu.solver.step import LOCAL_FFT
 
     mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
-    # The precomputed t==0 initial-pressure state costs 7 full fields of HBM
-    # (3.8 GB at 512^3) to save re-evaluating addInitialPressureSource's FFTs in
-    # every scan step; above ~100M cells that trade breaks the single-chip memory
-    # budget (the measured 512^3 het-absorbing config runs ONLY with the lax.cond
-    # fallback), so it is skipped there unless a mesh shards the fields.
-    p0_precompute = data.p0 is not None and (
-        mesh is not None or grid.n_elements < P0_PRECOMPUTE_MAX_CELLS
-    )
-    with mesh_ctx():
-        p0_init = (
-            make_p0_init(grid, ops, data.p0, fft or LOCAL_FFT)
-            if p0_precompute else None
-        )
     src = Sources(
         p0=jnp.asarray(data.p0) if data.p0 is not None else None,
-        p0_init=p0_init,
         p_index=jnp.asarray(data.p_source_index) if data.p_source_index is not None else None,
         p_signal=jnp.asarray(data.p_source_input) if data.p_source_input is not None else None,
         u_index=jnp.asarray(data.u_source_index) if data.u_source_index is not None else None,
@@ -500,6 +543,15 @@ def run_simulation(
 
             sim_state = shard_state(sim_state, mesh)
 
+    # t==0 initial-pressure peel (the reference applies p0 once,
+    # KSpaceFirstOrderSolver.cpp:925-928): the first step's post-state is the
+    # state-independent addInitialPressureSource result, so it is hoisted out of
+    # every scan — whichever program covers step 0 (lead-in, first window, or the
+    # tail) computes it once at its top, and the scanned step NEVER carries the p0
+    # branch (no per-step lax.cond, no 7-field precomputed init state in HBM).
+    peel_pending = cfg.p0_source_flag and t0 == 0
+    cfg = dataclasses.replace(cfg, p0_source_flag=False)
+
     sampled_steps = grid.nt - run.sampling_start
     o = basis.o_size if basis is not None else min(max(sampled_steps, 1), 64)
     stream_states = streams_mod.init_stream_states(specs, n_sensors, grid.n_elements, basis)
@@ -575,7 +627,7 @@ def run_simulation(
                "  medium: %s, %s | sources: p0=%s p=%d u=%d transducer=%d",
                "nonlinear" if cfg.nonlinear else "linear",
                "absorbing" if cfg.absorbing else "lossless",
-               cfg.p0_source_flag, cfg.p_source_flag, cfg.u_source_flag,
+               data.p0 is not None, cfg.p_source_flag, cfg.u_source_flag,
                cfg.transducer_source_flag)
     Logger.log(Logger.ADVANCED, "  sensors: %d (%s mask) | streams: %s",
                n_sensors, "cuboid" if cuboid_shapes is not None else "index",
@@ -598,10 +650,25 @@ def run_simulation(
         from kwave_tpu.solver import make_simulate_fn
 
         t_lead = _time.time()
-        lead = make_simulate_fn(ops, src, cfg, run.sampling_start - t,
-                                fft=fft or LOCAL_FFT)
-        with mesh_ctx():
-            sim_state, _ = lead(sim_state, jnp.int32(t))
+        lead_from = t
+        if peel_pending:
+            from kwave_tpu.solver.step import add_initial_pressure
+
+            init_fn = jax.jit(
+                lambda st, ops_, p0_: add_initial_pressure(
+                    st, ops_, p0_, fft or LOCAL_FFT
+                ),
+                donate_argnums=(0,),
+            )
+            with mesh_ctx():
+                sim_state = init_fn(sim_state, ops, src.p0)
+            peel_pending = False
+            lead_from = t + 1
+        if run.sampling_start > lead_from:
+            lead = make_simulate_fn(ops, src, cfg, run.sampling_start - lead_from,
+                                    fft=fft or LOCAL_FFT)
+            with mesh_ctx():
+                sim_state, _ = lead(sim_state, jnp.int32(lead_from))
         jax.block_until_ready(sim_state.p)
         dt_lead = _time.time() - t_lead
         for _ in range(run.sampling_start - t):
@@ -613,10 +680,17 @@ def run_simulation(
     pending = None  # one-window-delayed flush: host HDF5 writes of window w overlap the
     # device compute of window w+1 (the reference's delayed flushRawStreams,
     # KSpaceFirstOrderSolver.cpp:1065-1072, restructured at window granularity)
+    window_first = window
+    if peel_pending and n_windows > 0:
+        # separate first-window program with the t==0 step peeled out of its scan
+        window_first = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
+                                      ops=ops, src=src, mask=mask, fft=fft,
+                                      peel_p0=True)
+        peel_pending = False
     for w in range(n_windows):
         t_it = _time.time()
         with mesh_ctx():
-            sim_state, stream_states, emissions = window(
+            sim_state, stream_states, emissions = (window_first if w == 0 else window)(
                 sim_state, stream_states, jnp.int32(t)
             )
         if pending is not None:
@@ -676,15 +750,18 @@ def run_simulation(
         if f is not None:
             write_run_info(f, timers, file_path=output_path)  # cumulated times, next leg
             f.close()
+        _close_gather()
         return summary
     # trailing steps (< one window): every sampled step still feeds raw rows, aggregate
     # folds, and compressed accumulators (the reference's sample+accumulate runs each
     # step, IndexOutputStream.cpp:397-450); compressed frames are not emitted here
     rem = grid.nt - t
     if rem > 0:
+        # peel_pending survives to here only when no window ran (nt < oSize):
+        # the tail program is then the one covering step 0
         tail_fn = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
                                  ops=ops, src=src, mask=mask, fft=fft,
-                                 n_steps=rem, emit=False)
+                                 n_steps=rem, emit=False, peel_p0=peel_pending)
         with mesh_ctx():
             sim_state, stream_states, tail_emissions = tail_fn(
                 sim_state, stream_states, jnp.int32(t)
@@ -792,6 +869,7 @@ def run_simulation(
                 from kwave_tpu.io.hdf5 import write_attr
 
                 write_attr(fo, "benchmark_time_steps", int(run.benchmark_steps))
+    _close_gather()
     return summary
 
 

@@ -91,11 +91,6 @@ class Sources:
     """
 
     p0: Optional[jax.Array] = None  # initial pressure [grid]
-    # Precomputed t==0 state (make_p0_init): the whole addInitialPressureSource result is
-    # state-independent, so computing it once and selecting at t==0 avoids re-evaluating
-    # its 4 FFTs inside every scan step (lax.cond on TPU evaluates both branches when
-    # vectorized into a scan body). When None, step() falls back to the lax.cond path.
-    p0_init: Optional["SimState"] = None
     p_index: Optional[jax.Array] = None  # [n]
     p_signal: Optional[jax.Array] = None  # [T] or [n, T]
     u_index: Optional[jax.Array] = None
@@ -423,25 +418,16 @@ def step(
 
     new = SimState(p=p, ux_sgx=ux, uy_sgy=uy, uz_sgz=uz, rho_x=rx, rho_y=ry, rho_z=rz)
 
-    # -- initial pressure at t==0 (addInitialPressureSource :2359-2400)
+    # -- initial pressure at t==0 (addInitialPressureSource :2359-2400). The result
+    # is state-independent, so hot callers PEEL this out of their scan: the driver
+    # runs add_initial_pressure once before the loop and passes
+    # p0_source_flag=False (make_window_fn peel_p0 / the lead-in init) — the cond
+    # here is the generic fallback for standalone simulate() users only.
     if cfg.p0_source_flag:
-        if src.p0_init is not None:
-            init = src.p0_init
-            sel = lambda a, b: (None if b is None else jnp.where(t == 0, a, b))  # noqa: E731
-            new = SimState(
-                p=sel(init.p, new.p),
-                ux_sgx=sel(init.ux_sgx, new.ux_sgx),
-                uy_sgy=sel(init.uy_sgy, new.uy_sgy),
-                uz_sgz=sel(init.uz_sgz, new.uz_sgz),
-                rho_x=sel(init.rho_x, new.rho_x),
-                rho_y=sel(init.rho_y, new.rho_y),
-                rho_z=sel(init.rho_z, new.rho_z),
-            )
-        else:
-            new = lax.cond(
-                t == 0, lambda s: add_initial_pressure(s, ops, src.p0, fft),
-                lambda s: s, new,
-            )
+        new = lax.cond(
+            t == 0, lambda s: add_initial_pressure(s, ops, src.p0, fft),
+            lambda s: s, new,
+        )
     return new
 
 
@@ -482,10 +468,24 @@ def shifted_velocity(state: SimState, ops: Operators, fft: FftOps = LOCAL_FFT):
 
 def make_p0_init(grid: Grid, ops: Operators, p0: jax.Array,
                  fft: FftOps = LOCAL_FFT) -> SimState:
-    """Precompute the state addInitialPressureSource produces at t==0 (it does not depend
-    on the running state), so step() selects it cheaply instead of recomputing 4 FFTs per
-    scan iteration. Pass the result as Sources.p0_init."""
-    return add_initial_pressure(init_state(grid), ops, jnp.asarray(p0), fft)
+    """The peeled t==0 state: addInitialPressureSource's result does not depend on the
+    running state, so the full state after step 0 is exactly this. Hot loops run it ONCE
+    before their scan (and drop p0_source_flag from the scanned step) instead of
+    paying a per-step lax.cond whose p0 branch carries 4 FFTs.
+
+    The eager evaluation aliases rho_x/rho_y/rho_z through ONE buffer (and p through
+    the caller's p0): donating such a state into a jitted loop is rejected
+    (`f(donate(a), donate(a))`), so the duplicated leaves are copied out."""
+    st = add_initial_pressure(init_state(grid), ops, jnp.asarray(p0), fft)
+    return SimState(
+        p=jnp.array(st.p, copy=True),
+        ux_sgx=st.ux_sgx,
+        uy_sgy=st.uy_sgy,
+        uz_sgz=st.uz_sgz,
+        rho_x=st.rho_x,
+        rho_y=jnp.array(st.rho_y, copy=True),
+        rho_z=None if st.rho_z is None else jnp.array(st.rho_z, copy=True),
+    )
 
 
 def add_initial_pressure(state: SimState, ops: Operators, p0: jax.Array,

@@ -2,9 +2,10 @@
 
 Runs the complete run_simulation over a global 4-device mesh spanning two processes
 (2 virtual CPU devices each): z-sharded fields, pencil FFT over the process boundary,
-GSPMD stream processing, and the process-0 writer gathering every emission over the
-jax.distributed allgather (driver._host / parallel.distributed.fetch_global) — the
-multi-host generalization of the reference's single-writer HDF5 flush.
+GSPMD stream processing, and the process-0 writer receiving every emission through
+WriterGather (driver._host) — non-writer ranks ship only their addressable shards
+to process 0; a tripwire below asserts `process_allgather` (the r3 replicate-to-all
+path) is NEVER called, so no rank ever receives another rank's emissions.
 
 Usage: python tests/mp_driver_worker.py <rank> <nprocs> <port> <out_h5> [mode]
 
@@ -64,6 +65,26 @@ def main() -> int:
     assert len(jax.devices()) == 2 * nprocs
 
     from kwave_tpu.driver import RunConfig, run_simulation
+
+    # tripwire: the driver's writer edge must be the point-to-point WriterGather,
+    # never the replicate-to-all process_allgather (which would hand every rank a
+    # global-size emission buffer and P x the DCN bytes). jax internals
+    # (device_put's assert_equal) legitimately allgather tiny metadata — forbid
+    # only calls issued from kwave_tpu code (the r3 fetch_global path).
+    from jax.experimental import multihost_utils
+
+    _orig_allgather = multihost_utils.process_allgather
+
+    def _caller_guarded(tree, *a, **k):
+        caller = sys._getframe(1).f_code.co_filename
+        if "kwave_tpu" in caller:
+            raise AssertionError(
+                f"process_allgather called from {caller} — driver emissions "
+                "must go through WriterGather"
+            )
+        return _orig_allgather(tree, *a, **k)
+
+    multihost_utils.process_allgather = _caller_guarded
 
     mesh = make_mesh()  # all 4 global devices
     data = build_input()

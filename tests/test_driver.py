@@ -40,17 +40,27 @@ def _input(nt=60, n=16):
 
 
 def _reference_series(data):
-    """Plain per-step run: the ground truth the windowed driver must match exactly."""
+    """Plain per-step run: the ground truth the windowed driver must match exactly.
+
+    Uses the same peeled t==0 structure as the driver (make_p0_init once, then a
+    branch-free scan) so the comparison isolates the windowing/stream machinery —
+    the peel-vs-cond identity itself is covered bitwise at step granularity by
+    tests/test_solver.py::test_p0_peel_matches_cond_path."""
+    from kwave_tpu.solver import make_p0_init
+
     grid = data.grid
     ops = make_operators(grid, data.medium, data.pml_size, data.pml_alpha)
-    cfg = SolverConfig(p0_source_flag=True)
+    cfg = SolverConfig()
     src = Sources(p0=jnp.asarray(data.p0))
     mask = jnp.asarray(data.sensor_mask_index.astype(np.int32))
+    st0 = make_p0_init(grid, ops, data.p0)
+    row0 = sampling.sample_index(st0.p.reshape(-1), mask)
     _, series = simulate(
-        init_state(grid), ops, src, cfg, grid.nt,
+        st0, ops, src, cfg, grid.nt - 1,
         sample_fn=lambda s: sampling.sample_index(s.p.reshape(-1), mask),
+        t0=1,
     )
-    return np.asarray(series)
+    return np.concatenate([np.asarray(row0)[None], np.asarray(series)])
 
 
 @pytest.mark.parametrize("strategy", ["ys", "carry"])
@@ -187,33 +197,29 @@ def test_driver_2d_end_to_end(tmp_path):
     assert np.isfinite(series).all() and np.abs(series).max() > 0
 
 
-def test_p0_precompute_gated_by_grid_size(tmp_path, monkeypatch):
-    """Above P0_PRECOMPUTE_MAX_CELLS the driver takes the lax.cond initial-pressure
-    path (no 7-field precomputed state in HBM) and the output is unchanged."""
+def test_p0_peel_lead_in_and_tail(tmp_path):
+    """The t==0 peel covers every program that can own step 0: the lead-in
+    (sampling_start > 0) and the tail (nt < oSize, tiny-record). Outputs must
+    match the plain cond-path reference run exactly."""
     import h5py
 
-    import kwave_tpu.driver as drv
-    from kwave_tpu.io.input_file import InputData
-    from kwave_tpu.solver import Grid, Medium
+    # lead-in peel: sampling starts after step 0
+    data = _input(nt=40)
+    ref = _reference_series(data)
+    out = str(tmp_path / "lead.h5")
+    run_simulation(data, RunConfig(flags=dict(p_raw=True), sampling_start=10), out)
+    with h5py.File(out) as f:
+        np.testing.assert_array_equal(np.asarray(f["p"])[0], ref[10:])
 
-    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=24)
-    p0 = np.zeros(grid.shape, np.float32)
-    p0[8, 8, 8] = 1e5
-    mask = np.arange(0, grid.n_elements, 101, dtype=np.int64)[:32]
-    data = InputData(
-        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
-        pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
-        sensor_mask_index=mask, p0=p0,
+    # tail peel: the whole record is shorter than one compression window
+    data2 = _input(nt=7)
+    ref2 = _reference_series(data2)
+    out2 = str(tmp_path / "tail.h5")
+    run_simulation(
+        data2,
+        RunConfig(flags=dict(p_raw=True, p_c=True), period=10.0, harmonics=1),
+        out2,
     )
-    run = RunConfig(flags=dict(p_raw=True))
-
-    out_pre = str(tmp_path / "pre.h5")
-    run_simulation(data, run, out_pre)
-
-    monkeypatch.setattr(drv, "P0_PRECOMPUTE_MAX_CELLS", 0)
-    out_cond = str(tmp_path / "cond.h5")
-    run_simulation(data, run, out_cond)
-
-    with h5py.File(out_pre) as f1, h5py.File(out_cond) as f2:
-        np.testing.assert_allclose(np.asarray(f2["p"]), np.asarray(f1["p"]),
-                                   rtol=1e-6, atol=1e-6)
+    with h5py.File(out2) as f:
+        np.testing.assert_array_equal(np.asarray(f["p"])[0], ref2)
+        assert np.abs(np.asarray(f["p_c"])).max() > 0  # forced partial frame emitted

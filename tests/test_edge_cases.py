@@ -53,16 +53,22 @@ def _input(nt=60, n=16):
 
 
 def _reference_series(data):
+    # peeled t==0 structure, matching the driver (see tests/test_driver.py)
+    from kwave_tpu.solver import make_p0_init
+
     grid = data.grid
     ops = make_operators(grid, data.medium, data.pml_size, data.pml_alpha)
-    cfg = SolverConfig(p0_source_flag=True)
+    cfg = SolverConfig()
     src = Sources(p0=jnp.asarray(data.p0))
     mask = jnp.asarray(data.sensor_mask_index.astype(np.int32))
+    st0 = make_p0_init(grid, ops, data.p0)
+    row0 = sampling.sample_index(st0.p.reshape(-1), mask)
     _, series = simulate(
-        init_state(grid), ops, src, cfg, grid.nt,
+        st0, ops, src, cfg, grid.nt - 1,
         sample_fn=lambda s: sampling.sample_index(s.p.reshape(-1), mask),
+        t0=1,
     )
-    return np.asarray(series)
+    return np.concatenate([np.asarray(row0)[None], np.asarray(series)])
 
 
 @pytest.mark.parametrize("mode40", [False, True])
@@ -181,7 +187,9 @@ def _reference_series_with_shifted(data):
     grid = data.grid
     ops = make_operators(grid, data.medium, data.pml_size, data.pml_alpha,
                          need_shift=True)
-    cfg = SolverConfig(p0_source_flag=True)
+    from kwave_tpu.solver import make_p0_init
+
+    cfg = SolverConfig()  # peeled t==0 structure, matching the driver
     src = Sources(p0=jnp.asarray(data.p0))
     mask = jnp.asarray(data.sensor_mask_index.astype(np.int32))
 
@@ -192,8 +200,13 @@ def _reference_series_with_shifted(data):
             sampling.sample_index(sh[0].reshape(-1), mask),
         )
 
-    _, series = simulate(init_state(grid), ops, src, cfg, grid.nt, sample_fn=sample_fn)
-    return np.asarray(series[0]), np.asarray(series[1])
+    st0 = make_p0_init(grid, ops, data.p0)
+    row0 = sample_fn(st0)
+    _, series = simulate(st0, ops, src, cfg, grid.nt - 1, sample_fn=sample_fn, t0=1)
+    return (
+        np.concatenate([np.asarray(row0[0])[None], np.asarray(series[0])]),
+        np.concatenate([np.asarray(row0[1])[None], np.asarray(series[1])]),
+    )
 
 
 @pytest.mark.parametrize("mode40", [False, True])

@@ -20,7 +20,6 @@ from kwave_tpu.solver import (
     Sources,
     init_state,
     make_operators,
-    make_p0_init,
     simulate,
 )
 from kwave_tpu.solver.step import FftOps, LOCAL_FFT
@@ -151,7 +150,7 @@ def test_step_with_mxfft_matches_local_fft():
     ops_p = mxfft.permute_operators(ops, 3, perms)
 
     def run(o, fft):
-        src = Sources(p0=jnp.asarray(p0), p0_init=make_p0_init(grid, o, p0, fft))
+        src = Sources(p0=jnp.asarray(p0))
         st, _ = simulate(init_state(grid), o, src, cfg, n_steps=8, fft=fft)
         return np.asarray(st.p)
 
@@ -182,7 +181,7 @@ def test_batched_fft_ops_and_step():
     ops_p = mxfft.permute_operators(ops, 3, perms)
 
     def run(fft):
-        src = Sources(p0=jnp.asarray(p0), p0_init=make_p0_init(grid, ops_p, p0, fft))
+        src = Sources(p0=jnp.asarray(p0))
         st, _ = simulate(init_state(grid), ops_p, src, cfg, n_steps=6, fft=fft)
         return np.asarray(st.p)
 
@@ -202,7 +201,7 @@ def test_compact_operators_match_precomputed():
     assert ops_c.c2 is None and ops_c.absorb_tau is None
 
     def run(o):
-        src = Sources(p0=jnp.asarray(p0), p0_init=make_p0_init(grid, o, p0))
+        src = Sources(p0=jnp.asarray(p0))
         st, _ = simulate(init_state(grid), o, src, cfg, n_steps=6)
         return np.asarray(st.p)
 

@@ -194,6 +194,55 @@ def main():
     _emit({"op": "pallas_copy_flat", "gbps": results["pallas_copy_flat"],
            "rows": rows, "tile": tile})
 
+    # --- read:write mix sweep (VERDICT r3 #2). Encode at o=20/H=2 reads ~5 bytes
+    # per byte written; the 1:1 copy ceiling is the wrong roofline for that mix.
+    # Each kernel reads full (rows_mix, tile) blocks and writes the first
+    # rows_mix/ratio rows — the measured GB/s-vs-mix curve is the ceiling the
+    # encode kernel should be judged against. A tiny carried seed block forces a
+    # true serial dependency (~0.2% extra traffic). ---
+    rows_mix = 128
+    seed0 = jnp.zeros((8, N_SENSORS), jnp.float32)
+    t_mix = (T_STEPS // rows_mix) * rows_mix
+    for ratio in (1, 2, 4, 8, 16):
+        out_rows = rows_mix // ratio
+
+        def _mix_kernel(c_ref, s_ref, o_ref, _out=out_rows):
+            o_ref[...] = c_ref[:_out] + s_ref[0:1]
+
+        def _mix(x2, seed, _ratio=ratio, _out=out_rows):
+            return pl.pallas_call(
+                _mix_kernel,
+                grid=(pl.cdiv(N_SENSORS, tile), t_mix // rows_mix),
+                in_specs=[
+                    pl.BlockSpec((rows_mix, tile), lambda i, k: (k, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, tile), lambda i, k: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((_out, tile), lambda i, k: (k, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((t_mix // _ratio, N_SENSORS),
+                                               jnp.float32),
+                compiler_params=fastpath._compiler_params(),
+            )(x2, seed)
+
+        @jax.jit
+        def mix_chain(x):
+            x2 = x[:t_mix]
+
+            def body(seed, _):
+                y = _mix(x2, seed)
+                return seed * (1.0 + 0.0 * y[0, 0]), y
+
+            _, ys = lax.scan(body, seed0, None, length=REPS_INNER)
+            return ys[-1]
+
+        dt = _timeit(mix_chain, probe, series)
+        bytes_moved = t_mix * N_SENSORS * 4 * (1 + 1 / ratio)
+        gbps = round(bytes_moved / dt / 1e9, 1)
+        results[f"mix_{ratio}to1"] = gbps
+        _emit({"op": "mix", "read_to_write": ratio, "gbps": gbps})
+
     for path in paths:
         # --- encode alone: dependency injected through the tiny basis table ---
         def _enc(x, tl, _path=path):
@@ -233,8 +282,16 @@ def main():
         dec_gbps = (s_bytes + f_bytes) / dt / 1e9
         _emit({"op": "decode", "path": path, "gbps": round(dec_gbps, 1)})
 
-        # --- full round trip (bench.py semantics) + accuracy ---
+        # --- full round trip (bench.py semantics) + accuracy. The flat path runs
+        # the PACKED production chain (encode_series_frames/reconstruct_frames —
+        # exactly bench.py's chain), so this number and bench.py's differ only by
+        # byte accounting: roofline counts actual bytes (2S+2F), bench.py counts
+        # series bytes (2S). ---
         def one(x, _path=path):
+            if _path == "flat":
+                frames = encoder.encode_series_frames(x, cb)
+                return decoder.reconstruct_frames(frames, tab_re, tab_im, o,
+                                                  T_STEPS)
             f_re, f_im = encoder.encode_series_fast(x, cb, compute=_path)
             return decoder.reconstruct(f_re, f_im, tab_re, tab_im, o, T_STEPS,
                                        compute=_path)
