@@ -83,10 +83,17 @@ class RunConfig:
 def detect_period(data: InputData, run: RunConfig) -> Optional[float]:
     """Period from --frequency/--period or auto-detected on the tail of the source signal
     (Parameters::readScalarsFromInputFile, Parameters.cpp:473-513: last <=500 samples of the
-    middle column of p_source_input)."""
+    middle column of p_source_input).
+
+    A detected period is cached back into the input file as a `period` attribute
+    on p_source_input (Parameters.cpp:510-511) so later legs / re-runs skip the
+    detection pass; `InputData.cached_period` carries a previously cached value."""
     if run.period is not None:
         return run.period
+    if data.cached_period is not None and data.cached_period > 0:
+        return float(data.cached_period)
     sig = data.p_source_input
+    from_p_source = sig is not None
     if sig is None:
         if data.transducer_source_input is not None:
             sig = data.transducer_source_input
@@ -95,7 +102,19 @@ def detect_period(data: InputData, run: RunConfig) -> Optional[float]:
     if sig.ndim == 2:
         sig = sig[sig.shape[0] // 2]
     tail = np.asarray(sig[-500:], np.float32)
-    return float(find_period(tail))
+    period = float(find_period(tail))
+    if from_p_source and data.source_path is not None and jax.process_index() == 0:
+        try:
+            import h5py
+
+            from kwave_tpu.io import names
+
+            with h5py.File(data.source_path, "r+") as f:
+                f[names.P_SOURCE_INPUT].attrs["period"] = np.float32(period)
+            data.cached_period = period
+        except OSError:
+            pass  # read-only input file: detection simply runs again next leg
+    return period
 
 
 def _gather_sources(state: SimState, ops, mask, wanted: list[str], fft=None):

@@ -69,6 +69,12 @@ class InputData:
     # non-uniform grid stretch maps: dict with keys dxudxn/dyudyn/dzudzn and the
     # *_sgx/_sgy/_sgz staggered variants (per-axis vectors)
     nonuniform_maps: Optional[dict] = None
+    # auto-detected compression period cached as a `period` attribute on
+    # p_source_input (Parameters.cpp:508-511 writes it so later legs skip the
+    # detection pass); populated by read_input_file when present
+    cached_period: Optional[float] = None
+    # the file this InputData was read from (write-back target for the cache)
+    source_path: Optional[str] = None
 
     def u_source_flag_any(self) -> bool:
         return bool(self.ux_source_flag or self.uy_source_flag or self.uz_source_flag)
@@ -325,6 +331,12 @@ def read_input_file(path: str) -> InputData:
             p_source_index=read_idx(names.P_SOURCE_INDEX),
             p_source_input=_signal_from_file(f[names.P_SOURCE_INPUT], p_many)
             if names.P_SOURCE_INPUT in f else None,
+            cached_period=(
+                float(f[names.P_SOURCE_INPUT].attrs["period"])
+                if names.P_SOURCE_INPUT in f
+                and "period" in f[names.P_SOURCE_INPUT].attrs else None
+            ),
+            source_path=path,
             p_source_flag=p_source_flag,
             p_source_mode=read_scalar(f, names.P_SOURCE_MODE)
             if names.P_SOURCE_MODE in f else 0,

@@ -171,14 +171,29 @@ def q_term_from_intensity(
 # ---------------------------------------------------------------------------
 
 
-def _auto_block_size(avail_bytes: Optional[int] = None) -> int:
-    """I/O block size (float elements) from available host memory when --block_size is
-    absent — the reference sizes its post-processing blocks from free host/device memory
-    (KSpaceFirstOrderSolver::computeAverageIntensities, KSpaceFirstOrderSolver.cpp:
-    1283-1307). Budget: 1/8 of MemAvailable, capped at 2 GB, floor 8M elements (32 MB) —
-    the working set holds a handful of same-sized blocks (p + u + fft temps).
+def _free_device_bytes() -> Optional[int]:
+    """Free HBM on the attached accelerator (None on hosts without memory_stats —
+    CPU backends report no device distinct from the host)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+    except Exception:
+        pass
+    return None
 
-    `avail_bytes` overrides the /proc/meminfo probe (tests)."""
+
+def _auto_block_size(avail_bytes: Optional[int] = None,
+                     device_bytes: Optional[int] = None) -> int:
+    """I/O block size (float elements) when --block_size is absent — the reference
+    sizes its post-processing blocks from free host AND device memory
+    (KSpaceFirstOrderSolver::computeAverageIntensities,
+    KSpaceFirstOrderSolver.cpp:1283-1307: min(host*0.98, device*0.90) / 20).
+    Budget: 1/8 of host MemAvailable bounded by 1/4 of free HBM (the blocks are
+    staged on device for the fp32 time-shift FFTs — at 512^3 HBM, not host RAM,
+    is the binding constraint), capped at 2 GB, floor 8M elements (32 MB).
+
+    `avail_bytes` / `device_bytes` override the probes (tests)."""
     if avail_bytes is None:
         avail_bytes = 2 << 30
         try:
@@ -189,7 +204,11 @@ def _auto_block_size(avail_bytes: Optional[int] = None) -> int:
                         break
         except OSError:
             pass
+    if device_bytes is None:
+        device_bytes = _free_device_bytes()
     budget = min(avail_bytes // 8, 2 << 30)
+    if device_bytes is not None:
+        budget = min(budget, device_bytes // 4)
     return max(budget // 4, 8 << 20)
 
 

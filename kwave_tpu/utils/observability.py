@@ -112,6 +112,21 @@ def _peak_rss_mb() -> Optional[float]:
     return None
 
 
+def _peak_device_mb() -> Optional[float]:
+    """Peak HBM in use on the attached accelerator (TPU memory_stats); None on
+    backends without the probe (CPU). At 512^3 the margin to device OOM is the
+    single most load-bearing number a run can record."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return float(stats["peak_bytes_in_use"]) / (1 << 20)
+    except Exception:
+        pass
+    return None
+
+
 def write_run_info(h5file, timers: PhaseTimers, file_path: Optional[str] = None) -> None:
     """Write the reference's execution-statistics attribute block onto the output file
     root (writeOutputDataInfo, KSpaceFirstOrderSolver.cpp:1100-1169; attr names
@@ -134,7 +149,14 @@ def write_run_info(h5file, timers: PhaseTimers, file_path: Optional[str] = None)
         write_attr(h5file, "non-sampling_time", timers.non_sampling_time)
     peak = _peak_rss_mb()
     if peak is not None:
+        # host-side peak (peak_core_memory_in_use + the GPU build's host attr,
+        # Hdf5FileHeader.cpp:81 / Hdf5FileHeader.h:69)
         write_attr(h5file, names.PEAK_MEMORY, peak)
+        write_attr(h5file, "simulation_peak_host_memory_in_use", peak)
+    dev_peak = _peak_device_mb()
+    if dev_peak is not None:
+        # simulation_peak_device_memory_in_use (Hdf5FileHeader.h:70)
+        write_attr(h5file, names.PEAK_DEVICE_MEMORY, dev_peak)
     write_attr(h5file, names.NUMBER_OF_CORES, os.cpu_count() or 1)
     if file_path is not None and os.path.exists(file_path):
         write_attr(h5file, "output_file_size_MB",

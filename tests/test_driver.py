@@ -223,3 +223,45 @@ def test_p0_peel_lead_in_and_tail(tmp_path):
     with h5py.File(out2) as f:
         np.testing.assert_array_equal(np.asarray(f["p"])[0], ref2)
         assert np.abs(np.asarray(f["p_c"])).max() > 0  # forced partial frame emitted
+
+
+def test_detected_period_cached_in_input_file(tmp_path):
+    """Auto-detected period is written back as a `period` attribute on
+    p_source_input (Parameters.cpp:508-511) and used on later reads without
+    re-running detection."""
+    import h5py
+
+    from kwave_tpu import driver as drv
+    from kwave_tpu.io.input_file import read_input_file, write_input_file
+
+    grid = Grid(nx=12, ny=12, nz=12, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=30)
+    t = np.arange(200, dtype=np.float32)
+    sig = (1e5 * np.sin(2 * np.pi * t / 10.0)).astype(np.float32)
+    mask = np.arange(1, 20, dtype=np.int64)
+    inp = str(tmp_path / "in.h5")
+    write_input_file(inp, InputData(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(2, 2, 2), pml_alpha=(2.0,) * 3,
+        sensor_mask_index=mask,
+        p_source_index=np.arange(1, 5, dtype=np.int64),
+        p_source_input=sig, p_source_flag=len(sig),
+    ))
+    data = read_input_file(inp)
+    assert data.cached_period is None
+    run = RunConfig(flags=dict(p_c=True), harmonics=1)
+    period = drv.detect_period(data, run)
+    assert period == 10.0
+    with h5py.File(inp) as f:
+        assert float(f["p_source_input"].attrs["period"]) == 10.0
+
+    # second read carries the cache; detection must not run again
+    data2 = read_input_file(inp)
+    assert data2.cached_period == 10.0
+    import kwave_tpu.basis as basis_mod
+    orig = drv.find_period
+    drv.find_period = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("find_period re-ran despite cached attribute"))
+    try:
+        assert drv.detect_period(data2, run) == 10.0
+    finally:
+        drv.find_period = orig

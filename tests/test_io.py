@@ -193,13 +193,21 @@ def test_run_info_attributes(tmp_path):
         sensor_mask_index=np.arange(10, dtype=np.int64), p0=p0,
     )
     out = str(tmp_path / "out.h5")
-    run_simulation(data, RunConfig(flags=dict(p_raw=True)), out)
+    import kwave_tpu.utils.observability as obs
+    orig = obs._peak_device_mb
+    obs._peak_device_mb = lambda: 123.5  # CPU backends report no device stats
+    try:
+        run_simulation(data, RunConfig(flags=dict(p_raw=True)), out)
+    finally:
+        obs._peak_device_mb = orig
     with h5py.File(out) as f:
         for attr in ("total_execution_time", "simulation_phase_execution_time",
                      "average_sampling_iteration_time", "sampling_time",
-                     "number_of_cpu_cores"):
+                     "number_of_cpu_cores", "simulation_peak_host_memory_in_use",
+                     "simulation_peak_device_memory_in_use"):
             assert attr in f.attrs, attr
         assert f.attrs["total_execution_time"] > 0
+        assert f.attrs["simulation_peak_device_memory_in_use"] == 123.5
 
 
 def test_whole_domain_and_final_dataset_shapes(tmp_path):

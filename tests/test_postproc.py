@@ -143,6 +143,10 @@ def test_auto_block_size_computation():
     assert _auto_block_size(avail_bytes=64 * gib) == (2 * gib) // 4  # capped at 2 GB
     assert _auto_block_size(avail_bytes=8 * gib) == (gib // 4)  # 1/8 * 8GiB / 4
     assert _auto_block_size(avail_bytes=0) == 8 << 20  # floor
+    # free DEVICE memory also bounds the block (the reference takes
+    # min(host, device) — KSpaceFirstOrderSolver.cpp:1297; HBM binds at 512^3)
+    assert _auto_block_size(avail_bytes=64 * gib, device_bytes=4 * gib) == gib // 4
+    assert _auto_block_size(avail_bytes=64 * gib, device_bytes=0) == 8 << 20
     # the default probe path returns something sane
     assert _auto_block_size() >= 8 << 20
 
