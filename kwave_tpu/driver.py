@@ -407,26 +407,29 @@ def run_simulation(
     if compact is None:
         compact = grid.n_elements >= 192**3
     use_mxfft = run.matmul_fft
-    if use_mxfft and mesh is not None:
-        # the mesh path always runs the pencil-decomposed distributed FFT; an explicit
+    mesh_mxfft_ok = mesh is None or (grid.dim == 3 and mxfft_mod.supported(grid.shape))
+    if use_mxfft and not mesh_mxfft_ok:
+        # the mxfft-pencil composition needs a 3D radix-supported grid; an explicit
         # matmul_fft request would otherwise be silently ignored
         Logger.log(
             Logger.BASIC,
-            "WARNING: matmul_fft=True is ignored on a device mesh "
-            "(the sharded path uses the pencil FFT)",
+            "WARNING: matmul_fft=True is ignored on this mesh "
+            "(mxfft-pencil needs a 3D radix-supported grid)",
         )
         use_mxfft = False
     if use_mxfft is None:
         use_mxfft = (
-            mesh is None
-            and jax.default_backend() == "tpu"
+            jax.default_backend() == "tpu"
             and mxfft_mod.supported(grid.shape)
             and max(grid.shape) >= 256
+            and mesh_mxfft_ok
         )
         if use_mxfft:
             Logger.log(
                 Logger.ADVANCED,
-                "  mxfft auto-enabled (matmul FFT, precision=%s)", run.fft_precision,
+                "  mxfft auto-enabled (matmul FFT, precision=%s%s)",
+                run.fft_precision,
+                ", pencil locals" if mesh is not None else "",
             )
     ops = make_operators(
         grid, medium, data.pml_size, data.pml_alpha,
@@ -444,8 +447,21 @@ def run_simulation(
     if mesh is not None:
         from kwave_tpu.parallel import pencil_fft, shard_operators
 
+        if use_mxfft:
+            # the pencil's chip-local 1D legs run through the mxfft base-DFT
+            # machinery (VERDICT r3 #7: the >=256 regime where mxfft wins is
+            # exactly the regime multi-chip targets). Spectral operators are
+            # permuted to mxfft's y/z bin order BEFORE sharding, so each y-shard
+            # holds one contiguous block of the permuted order — the same blocks
+            # the pencil's all_to_all trades.
+            prec = {"high": lax.Precision.HIGH,
+                    "highest": lax.Precision.HIGHEST}[run.fft_precision]
+            perms = {ax: mxfft_mod.perm(int(grid.shape[ax])) for ax in (0, 1)}
+            ops = mxfft_mod.permute_operators(ops, len(grid.shape), perms)
+            fft = pencil_fft(mesh, grid.nx, engine="mxfft", precision=prec)
+        else:
+            fft = pencil_fft(mesh, grid.nx)
         ops = shard_operators(ops, len(grid.shape), mesh, grid=grid, pencil=True)
-        fft = pencil_fft(mesh, grid.nx)
     else:
         if use_mxfft:
             # MXU matmul FFT with permuted spectral bin order; operators reordered

@@ -30,36 +30,72 @@ def spectral_sharding(mesh: Mesh, axis: str = "space") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis, None))
 
 
-def _fwd_local(x, axis_name: str):
-    """Per-shard forward: local rfft(x)+fft(y), transpose z<->y, local fft(z)."""
+def _fwd_local(x, axis_name: str, engine: str = "jnp", precision=None):
+    """Per-shard forward: local rfft(x)+fft(y), transpose z<->y, local fft(z).
+
+    engine="mxfft" routes every chip-local 1D leg through the MXU matmul FFT
+    (kwave_tpu.ops.mxfft — the same base-DFT machinery that wins ~15-40% on
+    single-chip >=256 grids): the r2c x leg is one real DFT matmul, y and z are
+    radix-2 butterflies + the 128-point base matmul, and the y/z spectral bins
+    come out in mxfft's permuted order (operators must be permuted to match,
+    mxfft.permute_operators — exactly as on one chip). The all_to_all trades
+    contiguous blocks of the permuted y axis, so each shard holds one block of
+    the permuted order and the y-sharded operator layout stays consistent."""
     s = jax.lax.psum(1, axis_name)
     nz_loc, ny, _ = x.shape  # after rfft: [nz/S, ny, nxR]
-    xk = jnp.fft.fft(jnp.fft.rfft(x, axis=2), axis=1)
+    if engine == "mxfft":
+        from kwave_tpu.ops import mxfft
+
+        re, im = mxfft._rfft_last(x, x.shape[2], precision)
+        re, im = mxfft._c2c_axis(re, im, 1, ny, False, precision)
+        xk = jax.lax.complex(re, im)
+    else:
+        xk = jnp.fft.fft(jnp.fft.rfft(x, axis=2), axis=1)
     nxr = xk.shape[2]
     # split y into S blocks and trade: [nz/S, S, ny/S, nxR] -> [S, nz/S, ny/S, nxR]
     xk = xk.reshape(nz_loc, s, ny // s, nxr)
     xk = jax.lax.all_to_all(xk, axis_name, split_axis=1, concat_axis=0, tiled=False)
     # [S, nz/S, ny/S, nxR] -> [nz, ny/S, nxR]
     xk = xk.reshape(s * nz_loc, ny // s, nxr)
+    if engine == "mxfft":
+        from kwave_tpu.ops import mxfft
+
+        re, im = mxfft._c2c_axis(jnp.real(xk), jnp.imag(xk), 0, s * nz_loc,
+                                 False, precision)
+        return jax.lax.complex(re, im)
     return jnp.fft.fft(xk, axis=0)
 
 
-def _inv_local(xk, nx: int, axis_name: str):
+def _inv_local(xk, nx: int, axis_name: str, engine: str = "jnp", precision=None):
     """Per-shard inverse: local ifft(z), transpose y<->z, local ifft(y)+irfft(x)."""
     s = jax.lax.psum(1, axis_name)
     nz, ny_loc, nxr = xk.shape
-    xk = jnp.fft.ifft(xk, axis=0)
+    if engine == "mxfft":
+        from kwave_tpu.ops import mxfft
+
+        re, im = mxfft._c2c_axis(jnp.real(xk), jnp.imag(xk), 0, nz, True, precision)
+        xk = jax.lax.complex(re, im)
+    else:
+        xk = jnp.fft.ifft(xk, axis=0)
     # [S, nz/S, ny/S, nxR] -> trade back -> [nz/S, S, ny/S, nxR] -> [nz/S, ny, nxR]
     xk = xk.reshape(s, nz // s, ny_loc, nxr)
     xk = jax.lax.all_to_all(xk, axis_name, split_axis=0, concat_axis=1, tiled=False)
     xk = xk.reshape(nz // s, s * ny_loc, nxr)
+    if engine == "mxfft":
+        from kwave_tpu.ops import mxfft
+
+        re, im = mxfft._c2c_axis(jnp.real(xk), jnp.imag(xk), 1, s * ny_loc, True,
+                                 precision)
+        return mxfft._irfft_last(re, im, nx, precision)
     return jnp.fft.irfft(jnp.fft.ifft(xk, axis=1), n=nx, axis=2)
 
 
-def dist_rfftn(x: jax.Array, mesh: Mesh, axis: str = "space") -> jax.Array:
+def dist_rfftn(x: jax.Array, mesh: Mesh, axis: str = "space",
+               engine: str = "jnp", precision=None) -> jax.Array:
     """3D rfftn of a z-sharded [nz, ny, nx] field -> y-sharded spectral [nz, ny, nxR]."""
     fn = shard_map(
-        functools.partial(_fwd_local, axis_name=axis),
+        functools.partial(_fwd_local, axis_name=axis, engine=engine,
+                          precision=precision),
         mesh=mesh,
         in_specs=P(axis, None, None),
         out_specs=P(None, axis, None),
@@ -67,10 +103,12 @@ def dist_rfftn(x: jax.Array, mesh: Mesh, axis: str = "space") -> jax.Array:
     return fn(x)
 
 
-def dist_irfftn(xk: jax.Array, nx: int, mesh: Mesh, axis: str = "space") -> jax.Array:
+def dist_irfftn(xk: jax.Array, nx: int, mesh: Mesh, axis: str = "space",
+                engine: str = "jnp", precision=None) -> jax.Array:
     """Inverse of dist_rfftn: y-sharded spectral -> z-sharded real [nz, ny, nx]."""
     fn = shard_map(
-        functools.partial(_inv_local, nx=nx, axis_name=axis),
+        functools.partial(_inv_local, nx=nx, axis_name=axis, engine=engine,
+                          precision=precision),
         mesh=mesh,
         in_specs=P(None, axis, None),
         out_specs=P(axis, None, None),

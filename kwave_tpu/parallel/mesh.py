@@ -103,13 +103,19 @@ def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "spa
     return Operators(**d)
 
 
-def pencil_fft(mesh: Mesh, nx: int, axis: str = "space"):
+def pencil_fft(mesh: Mesh, nx: int, axis: str = "space", engine: str = "jnp",
+               precision=None):
     """FftOps bound to this mesh's pencil-decomposed distributed FFT — pass as the
-    solver step/simulate `fft` argument alongside pencil-sharded operators."""
+    solver step/simulate `fft` argument alongside pencil-sharded operators.
+
+    ``engine="mxfft"`` runs every chip-local 1D leg through the MXU matmul FFT
+    (y/z bins in mxfft's permuted order — the operators must have gone through
+    ``mxfft.permute_operators`` BEFORE ``shard_operators``, as the driver does)."""
     from kwave_tpu.parallel import fft as dfft
     from kwave_tpu.solver.step import FftOps
 
     return FftOps(
-        rfftn=lambda x: dfft.dist_rfftn(x, mesh, axis),
-        irfftn=lambda xk, shape: dfft.dist_irfftn(xk, shape[-1], mesh, axis),
+        rfftn=lambda x: dfft.dist_rfftn(x, mesh, axis, engine, precision),
+        irfftn=lambda xk, shape: dfft.dist_irfftn(xk, shape[-1], mesh, axis,
+                                                  engine, precision),
     )

@@ -60,3 +60,31 @@ def test_dist_spectral_multiply_kappa(mesh):
     got = np.asarray(apply_op(xs, kap_s))
     ref = np.fft.irfftn(np.fft.rfftn(x) * kap, s=(16, 16, 16)).astype(np.float32)
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_dist_mxfft_engine_matches_jnp(mesh):
+    """The mxfft-backed pencil legs (engine="mxfft") reproduce the jnp pencil up
+    to mxfft's y/z bin permutation, and roundtrip to identity. Uses a 256-z grid
+    so the radix-2 levels actually run (16-length axes hit the base directly)."""
+    from kwave_tpu.ops import mxfft
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((256, 16, 12)).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), field_sharding(mesh, 3))
+
+    @jax.jit
+    def both(a):
+        k_jnp = dist_rfftn(a, mesh)
+        k_mx = dist_rfftn(a, mesh, engine="mxfft",
+                          precision=jax.lax.Precision.HIGHEST)
+        back = dist_irfftn(k_mx, a.shape[2], mesh, engine="mxfft",
+                           precision=jax.lax.Precision.HIGHEST)
+        return k_jnp, k_mx, back
+
+    k_jnp, k_mx, back = both(xs)
+    pz, py = mxfft.perm(256), mxfft.perm(16)
+    ref_perm = np.asarray(k_jnp)[pz][:, py]
+    scale = np.abs(ref_perm).max()
+    np.testing.assert_allclose(np.asarray(k_mx), ref_perm, atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(back), x, atol=3e-5 * np.abs(x).max())
+    assert k_mx.sharding.is_equivalent_to(spectral_sharding(mesh), 3)
