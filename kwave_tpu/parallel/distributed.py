@@ -7,9 +7,10 @@ The reference is one process/one GPU; its "distributed" story is checkpoint/rest
 - `encode_sharded` — the codec's data parallelism: sensors sharded over the mesh, basis
   tables replicated; each chip encodes its sensor block independently (the codec state is
   O(1) per sensor — SURVEY.md §5 long-context note — so this is embarrassingly parallel).
-- `gather_frames` — coefficient frames back to the writer process in sensor-index order.
-  Within one process this is a device_get of the sharded array (XLA lays shards out in
-  index order); across hosts, process_allgather over DCN with index-ordered reassembly.
+- `WriterGather` — THE production writer edge: per-window emissions reach process 0
+  only (each rank ships its addressable shards point-to-point; index-ordered assembly
+  on the writer). `fetch_global`/`gather_frames` are the replicate-to-all utilities
+  (every rank receives the global value) for small collective state.
 """
 
 from __future__ import annotations

@@ -95,7 +95,7 @@ def _collective_census(hlo_text: str) -> dict:
     return out
 
 
-def _setup(n_dev: int, nz: int):
+def _setup(n_dev: int, nz: int, engine: str = "jnp"):
     grid = Grid(nx=32, ny=32, nz=nz, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=10)
     rng = np.random.default_rng(0)
     c0 = (1500.0 + 50.0 * rng.random(grid.shape)).astype(np.float32)
@@ -103,16 +103,22 @@ def _setup(n_dev: int, nz: int):
     ops = make_operators(grid, medium, (4, 4, 4), (2.0,) * 3, absorbing=True)
     cfg = SolverConfig(absorbing=True)
     mesh = make_mesh(n_dev)
+    if engine == "mxfft":
+        from kwave_tpu.ops import mxfft
+
+        perms = {ax: mxfft.perm(int(grid.shape[ax])) for ax in (0, 1)}
+        ops = mxfft.permute_operators(ops, 3, perms)
     ops_s = shard_operators(ops, 3, mesh, grid=grid, pencil=True)
     state = shard_state(init_state(grid), mesh)
-    fft = pencil_fft(mesh, grid.nx)
+    fft = pencil_fft(mesh, grid.nx, engine=engine,
+                     precision=jax.lax.Precision.HIGHEST)
     return grid, mesh, ops_s, state, cfg, fft
 
 
-def census_for(n_dev: int) -> dict:
+def census_for(n_dev: int, engine: str = "jnp") -> dict:
     """Compile ONE sharded timestep at weak-scaled size; return collective stats."""
     nz_per_dev = 16
-    grid, mesh, ops_s, state, cfg, fft = _setup(n_dev, nz_per_dev * n_dev)
+    grid, mesh, ops_s, state, cfg, fft = _setup(n_dev, nz_per_dev * n_dev, engine)
     src = Sources()
 
     def one_step(st):
@@ -180,6 +186,15 @@ def main():
         r = census_for(n)
         rows.append(r)
         print(json.dumps(r), flush=True)
+    # mxfft-pencil locals must not change the comm structure: same collectives,
+    # same per-device bytes (the all_to_alls trade the same slabs; only the
+    # local 1D legs differ)
+    mx = census_for(8, engine="mxfft")
+    mx["engine"] = "mxfft"
+    print(json.dumps(mx), flush=True)
+    same = mx["per_device_collective_bytes_per_step"] == rows[-1][
+        "per_device_collective_bytes_per_step"]
+    print(json.dumps({"mxfft_pencil_census_unchanged": bool(same)}), flush=True)
     base = next((r for r in rows if r["devices"] > 1), None)
     if base is not None:
         last = rows[-1]
