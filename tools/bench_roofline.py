@@ -243,6 +243,48 @@ def main():
         results[f"mix_{ratio}to1"] = gbps
         _emit({"op": "mix", "read_to_write": ratio, "gbps": gbps})
 
+    # --- the write-dominated mirror (decode's regime: read F small, write S
+    # large): read the first rows_mix/ratio rows, broadcast-write the full block ---
+    for ratio in (2, 4, 8, 16):
+        in_rows = rows_mix // ratio
+
+        def _wmix_kernel(c_ref, s_ref, o_ref, _in=in_rows, _r=rows_mix // in_rows):
+            blk = c_ref[...] + s_ref[0:1]
+            o_ref[...] = jnp.concatenate([blk] * _r, axis=0)
+
+        def _wmix(x2, seed, _ratio=ratio, _in=in_rows):
+            return pl.pallas_call(
+                _wmix_kernel,
+                grid=(pl.cdiv(N_SENSORS, tile), t_mix // rows_mix),
+                in_specs=[
+                    pl.BlockSpec((_in, tile), lambda i, k: (k, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, tile), lambda i, k: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((rows_mix, tile), lambda i, k: (k, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((t_mix, N_SENSORS), jnp.float32),
+                compiler_params=fastpath._compiler_params(),
+            )(x2, seed)
+
+        @jax.jit
+        def wmix_chain(x):
+            x2 = x[: t_mix // ratio]
+
+            def body(seed, _):
+                y = _wmix(x2, seed)
+                return seed * (1.0 + 0.0 * y[0, 0]), y
+
+            _, ys = lax.scan(body, seed0, None, length=REPS_INNER)
+            return ys[-1]
+
+        dt = _timeit(wmix_chain, probe, series)
+        bytes_moved = t_mix * N_SENSORS * 4 * (1 + 1 / ratio)
+        gbps = round(bytes_moved / dt / 1e9, 1)
+        results[f"wmix_1to{ratio}"] = gbps
+        _emit({"op": "mix", "read_to_write": f"1:{ratio}", "gbps": gbps})
+
     for path in paths:
         # --- encode alone: dependency injected through the tiny basis table ---
         def _enc(x, tl, _path=path):
