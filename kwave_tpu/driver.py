@@ -74,10 +74,32 @@ class RunConfig:
     # per transform, cuFFT-like — the default, matching the reference's fp32 path),
     # "high" = 3-pass bf16 (~1e-6, ~2x faster MXU legs) as an explicit opt-in.
     fft_precision: str = "highest"
+    # mxfft base-DFT size. None = auto (_auto_direct_base): at precision "high"
+    # every >=256 c2c axis runs ONE dense full-DFT matmul (no butterfly levels) —
+    # each dropped level removes a full materializing HBM pass over the spectrum,
+    # measured 22.4 -> 18.9 ms/step at 256^3 and 464 -> 226 at 512^3. At
+    # "highest" (6 emulation passes) the dense contraction is MXU-bound and
+    # LOSES (92 ms at 256^3), so that mode keeps the 128 base.
+    fft_direct_base: Optional[int] = None
     # Regenerate radially-symmetric spectral operators / c0-derived media on device
     # instead of storing full 3D arrays (make_operators(compact=True)).
     # None = auto: grids >= 192^3 equivalent (saves ~2.3 GB resident at 512^3).
     compact_operators: Optional[bool] = None
+
+
+def _auto_direct_base(shape: tuple, fft_precision: str) -> Optional[int]:
+    """mxfft base-DFT auto-pick (measured, tools/bench_solver.py 2026-08-21).
+
+    At precision "high" (3 bf16 passes) the dense full-DFT base wins for every
+    >=256 axis: each skipped radix-2 level removes a full materializing HBM pass
+    over the spectrum, worth far more than the extra MXU flops (256^3:
+    22.4 -> 18.9 ms/step with base 256; 512^3: 464 -> 331 with base 256 ->
+    226 with base 512). At "highest" the 6 emulation passes make the dense
+    contraction MXU-bound (256^3 measured 92 ms) — keep the 128 base there."""
+    if fft_precision != "high":
+        return None
+    m = max(int(n) for n in shape[:-1])
+    return m if m >= 256 else None
 
 
 def detect_period(data: InputData, run: RunConfig) -> Optional[float]:
@@ -470,8 +492,11 @@ def run_simulation(
 
             prec = {"high": lax.Precision.HIGH,
                     "highest": lax.Precision.HIGHEST}[run.fft_precision]
+            direct = run.fft_direct_base
+            if direct is None:
+                direct = _auto_direct_base(grid.shape, run.fft_precision)
             rfftn_fn, irfftn_fn, ax_perms = mxfft_mod.make_fft_ops(
-                grid.shape, precision=prec
+                grid.shape, precision=prec, direct_base=direct
             )
             shift_fn = mxfft_mod.make_shift_ops(ops, grid.shape, precision=prec)
             ops = mxfft_mod.permute_operators(ops, len(grid.shape), ax_perms)

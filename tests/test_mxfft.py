@@ -268,3 +268,32 @@ def test_direct_base_roundtrip_and_canonical_order(shape):
     np.testing.assert_allclose(fk.imag, ref.imag, atol=3e-5 * scale)
     y = np.asarray(jax.jit(lambda v: inv(fwd(v), shape))(jnp.asarray(x)))
     np.testing.assert_allclose(y, x, atol=3e-5 * np.abs(x).max())
+
+
+def test_auto_direct_base_heuristic():
+    """Driver base-DFT auto-pick (BASELINE.md 2026-08-21): dense full-DFT base
+    for every >=256 axis at precision "high" (HBM passes beat MXU flops there);
+    128 base at "highest" (dense contraction is MXU-bound under 6-pass
+    emulation) and for small grids."""
+    from kwave_tpu.driver import _auto_direct_base
+
+    assert _auto_direct_base((512, 512, 512), "high") == 512
+    assert _auto_direct_base((512, 64, 64), "high") == 512
+    assert _auto_direct_base((256, 256, 256), "high") == 256
+    assert _auto_direct_base((128, 128, 128), "high") is None
+    assert _auto_direct_base((512, 512, 512), "highest") is None
+    # the dense-base transform stays correct at HIGH precision (K=512: 3-pass
+    # bf16 error accumulates over the full contraction)
+    shape = (512, 8, 8)
+    fwd, inv, perms = mxfft.make_fft_ops(shape, direct_base=512,
+                                         precision=jax.lax.Precision.HIGH)
+    rng = np.random.default_rng(2)
+    x = (1e5 * rng.standard_normal(shape)).astype(np.float32)
+    ref = np.fft.rfftn(x.astype(np.float64))
+    mine = np.asarray(jax.jit(fwd)(jnp.asarray(x)))
+    idx = [mxfft.perm(512, 512), np.arange(8), np.arange(5)]
+    err = np.abs(mine - ref[np.ix_(*idx)]).max() / np.abs(ref).max()
+    assert err < 1e-5, err
+    y = np.asarray(jax.jit(lambda v: inv(fwd(v), shape))(jnp.asarray(x)))
+    rt = np.abs(y - x).max() / np.abs(x).max()
+    assert rt < 1e-5, rt
