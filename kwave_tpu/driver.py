@@ -85,6 +85,13 @@ class RunConfig:
     # instead of storing full 3D arrays (make_operators(compact=True)).
     # None = auto: grids >= 192^3 equivalent (saves ~2.3 GB resident at 512^3).
     compact_operators: Optional[bool] = None
+    # Fused z-stage spectral multiply (ops.zfuse): z-DFT -> operator -> z-IDFT in
+    # one Pallas kernel, operators generated in-kernel from per-axis vectors.
+    # MEASURED SLOWER than XLA's dense-base pipeline at 512^3 (287-311 vs
+    # 226 ms/step — the per-block Mosaic matmuls lose more than the saved
+    # z-stage HBM passes gain; BASELINE.md). Default OFF; kept as an explicit
+    # opt-in for future kernel iterations.
+    fuse_z: Optional[bool] = None
 
 
 def _auto_direct_base(shape: tuple, fft_precision: str) -> Optional[int]:
@@ -499,12 +506,34 @@ def run_simulation(
                 grid.shape, precision=prec, direct_base=direct
             )
             shift_fn = mxfft_mod.make_shift_ops(ops, grid.shape, precision=prec)
+            # fused z-stage pipeline: needs the per-axis k^2 vectors (compact
+            # mode) and dense y/z bases (canonical bin order — zfuse's layout
+            # contract). The plan is built from HOST operator vectors here,
+            # before staging.
+            use_zfuse = run.fuse_z
+            if use_zfuse is None:
+                use_zfuse = False  # measured slower than the dense-base pipeline
+            elif use_zfuse and not (bool(compact) and grid.dim == 3):
+                Logger.log(Logger.BASIC,
+                           "WARNING: fuse_z needs 3D compact operators; ignored")
+                use_zfuse = False
+            spectral_multi = None
+            if use_zfuse:
+                from kwave_tpu.ops import zfuse
+
+                spectral_multi = zfuse.make_pipeline(
+                    grid.shape, ops.k2_z, ops.k2_y, ops.k2_x,
+                    ops.c_ref_dt_2, precision=prec,
+                )
+                Logger.log(Logger.ADVANCED,
+                           "  zfuse enabled (fused z-stage spectral multiply)")
             ops = mxfft_mod.permute_operators(ops, len(grid.shape), ax_perms)
             # batched=False: stacking the velocity-gradient transforms into one
-            # batched mxfft call measured SLOWER at 256^3 (40.3 vs 28.4 ms/step) —
-            # the jnp.stack materializations cost more HBM traffic than the larger
-            # base-DFT batch saves in MXU issue. Kept available via FftOps.batched.
-            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn)
+            # batched mxfft call measured SLOWER at 256^3 (40.3 vs 28.4 ms/step)
+            # and 512^3 (241 vs 226) — the jnp.stack materializations cost more
+            # HBM traffic than the larger base-DFT batch saves in MXU issue.
+            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn,
+                         spectral_multi=spectral_multi)
         ops = jax.tree_util.tree_map(jnp.asarray, ops)
     cfg = SolverConfig(
         nonlinear=data.nonlinear,

@@ -57,6 +57,13 @@ class FftOps(NamedTuple):
     # base-DFT matmul batch (VERDICT r2 #8; the reference batches the same transforms
     # through one cuFFT many-plan, CufftComplexMatrix.cpp:172-271).
     batched: bool = False
+    # Optional fused spectral-multiply pipeline (kwave_tpu.ops.zfuse.make_pipeline):
+    # (field, op_specs, dd_vectors, use_kappa) -> [real fields], computing
+    # irfftn(op * [kappa *] rfftn(field)) per op with the z stage + operators in
+    # one Pallas kernel. When set, EVERY transform of the timestep routes through
+    # it (the big grids' XLA pipelines pay one materializing HBM pass per stage —
+    # BASELINE.md 512^3 root-cause — and this removes the z-stage passes).
+    spectral_multi: Optional[Callable] = None
 
 
 LOCAL_FFT = FftOps(
@@ -243,6 +250,16 @@ def _grad_fields(field: jax.Array, ops: Operators, ddx, ddy, ddz, shape,
     The per-axis operators arrive as packed float (re, im) planes (operators.pack_complex)
     and become complex64 only here, on device."""
     ndim = field.ndim
+    if fft.spectral_multi is not None:
+        from kwave_tpu.ops.zfuse import OpSpec
+
+        specs = [OpSpec("grad", axis=ndim - 1), OpSpec("grad", axis=ndim - 2)]
+        dds = [ddx, ddy]
+        if ddz is not None:
+            specs.append(OpSpec("grad", axis=0))
+            dds.append(ddz)
+        outs = fft.spectral_multi(field, tuple(specs), tuple(dds), True)
+        return outs[0], outs[1], (outs[2] if ddz is not None else None)
     fk = fft.rfftn(field)
     fk = fk * _kappa(ops, ndim)
     specs = [fk * _bc(cvec(ddx), 0, ndim), fk * _bc(cvec(ddy), 1, ndim)]
@@ -339,16 +356,27 @@ def step(
 
     # -- velocity gradient (computeVelocityGradient :2126-2150): per-axis
     # duxdx = ifft(ddx_neg * kappa * fft(ux)) etc.
-    kap = _kappa(ops, ndim)
-    u_fks = _rfftn_multi(fft, [ux, uy] + ([uz] if is3d else []))
-    du_specs = [u_fks[0] * kap * _bc(cvec(ops.ddx_neg), 0, ndim),
-                u_fks[1] * kap * _bc(cvec(ops.ddy_neg), 1, ndim)]
-    if is3d:
-        du_specs.append(u_fks[2] * kap * _bc(cvec(ops.ddz_neg), 2, ndim))
-    du = _irfftn_multi(fft, du_specs, shape)
-    duxdx, duydy = du[0], du[1]
-    if is3d:
-        duzdz = du[2]
+    if fft.spectral_multi is not None:
+        from kwave_tpu.ops.zfuse import OpSpec
+
+        duxdx = fft.spectral_multi(
+            ux, (OpSpec("grad", axis=ndim - 1),), (ops.ddx_neg,), True)[0]
+        duydy = fft.spectral_multi(
+            uy, (OpSpec("grad", axis=ndim - 2),), (ops.ddy_neg,), True)[0]
+        if is3d:
+            duzdz = fft.spectral_multi(
+                uz, (OpSpec("grad", axis=0),), (ops.ddz_neg,), True)[0]
+    else:
+        kap = _kappa(ops, ndim)
+        u_fks = _rfftn_multi(fft, [ux, uy] + ([uz] if is3d else []))
+        du_specs = [u_fks[0] * kap * _bc(cvec(ops.ddx_neg), 0, ndim),
+                    u_fks[1] * kap * _bc(cvec(ops.ddy_neg), 1, ndim)]
+        if is3d:
+            du_specs.append(u_fks[2] * kap * _bc(cvec(ops.ddz_neg), 2, ndim))
+        du = _irfftn_multi(fft, du_specs, shape)
+        duxdx, duydy = du[0], du[1]
+        if is3d:
+            duzdz = du[2]
     # non-uniform grid: scale gradients by the stretch maps (the nonuniform variant of
     # cudaComputeVelocityGradient — MATLAB duxdx = dxudxn .* real(ifft(...)))
     if ops.dxudxn is not None:
@@ -399,12 +427,21 @@ def step(
     du_sum = duxdx + duydy + (duzdz if is3d else 0.0)
     c2 = _c2_op(ops)
     if cfg.absorbing:
-        nabla1, nabla2 = _absorb_nablas(ops, ndim)
         tau, eta = _tau_eta_op(ops)
         vel_grad_sum = ops.rho0 * du_sum
-        ab_fks = _rfftn_multi(fft, [vel_grad_sum, rho_sum])
-        tau_term, eta_term = _irfftn_multi(
-            fft, [ab_fks[0] * nabla1, ab_fks[1] * nabla2], shape)
+        if fft.spectral_multi is not None:
+            from kwave_tpu.ops.zfuse import OpSpec
+
+            ap = float(ops.alpha_power)
+            tau_term = fft.spectral_multi(
+                vel_grad_sum, (OpSpec("nabla", power=ap - 2.0),), (), False)[0]
+            eta_term = fft.spectral_multi(
+                rho_sum, (OpSpec("nabla", power=ap - 1.0),), (), False)[0]
+        else:
+            nabla1, nabla2 = _absorb_nablas(ops, ndim)
+            ab_fks = _rfftn_multi(fft, [vel_grad_sum, rho_sum])
+            tau_term, eta_term = _irfftn_multi(
+                fft, [ab_fks[0] * nabla1, ab_fks[1] * nabla2], shape)
         if cfg.nonlinear:
             nonlin = (ops.bona * rho_sum * rho_sum) / (2.0 * ops.rho0) + rho_sum
             p = c2 * (nonlin + tau * tau_term - eta * eta_term)
