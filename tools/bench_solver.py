@@ -103,10 +103,11 @@ def bench_plain(n: int, steps: int, mxfft_on: bool = False,
 
 def bench_sampling(n: int, steps: int, n_sensors: int = 16384,
                    mxfft_on: bool = False, compact: bool = False,
-                   precision: str = "highest") -> float:
+                   precision: str = "highest", direct_base: int = 0) -> float:
     """Seconds per iteration with index-mask sampling + compressed + raw p streams
     (the reference's sampling-iteration bucket)."""
-    grid, ops, cfg, src, fft = setup(n, mxfft_on, compact, precision=precision)
+    grid, ops, cfg, src, fft = setup(n, mxfft_on, compact, precision=precision,
+                                     direct_base=direct_base)
     basis = generate_basis(16.0, 1, 2, normalize=True)
     o = basis.o_size
     rng = np.random.default_rng(0)
@@ -158,7 +159,8 @@ def main():
         )
         if not args.no_sampling:
             samp = bench_sampling(n, args.steps, mxfft_on=args.mxfft,
-                                  compact=args.mxfft, precision=args.precision)
+                                  compact=args.mxfft, precision=args.precision,
+                                  direct_base=args.direct)
             line += (
                 f" | sampling+encode {samp * 1e3:8.3f} ms/step "
                 f"({cells / samp / 1e9:6.2f} Gcell/s)"
