@@ -94,6 +94,16 @@ class RunConfig:
     fuse_z: Optional[bool] = None
 
 
+def _auto_mxfft_min_axis(fft_precision: str) -> int:
+    """Smallest max-axis at which mxfft auto-enables (measured,
+    tools/bench_solver.py 2026-08-21). At precision "high" the dense-base
+    matmul FFT beats jnp.fft across the WHOLE reference envelope (64^3:
+    0.41 vs 0.77 ms/step; 128^3: 1.20 vs 2.32; axes <=128 hit the dense base
+    with no butterflies even at the default base). At "highest" the 6-pass
+    emulation only pays off from 256 up (r2 measurements)."""
+    return 64 if fft_precision == "high" else 256
+
+
 def _auto_direct_base(shape: tuple, fft_precision: str) -> Optional[int]:
     """mxfft base-DFT auto-pick (measured, tools/bench_solver.py 2026-08-21).
 
@@ -450,7 +460,7 @@ def run_simulation(
         use_mxfft = (
             jax.default_backend() == "tpu"
             and mxfft_mod.supported(grid.shape)
-            and max(grid.shape) >= 256
+            and max(grid.shape) >= _auto_mxfft_min_axis(run.fft_precision)
             and mesh_mxfft_ok
         )
         if use_mxfft:

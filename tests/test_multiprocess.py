@@ -179,3 +179,30 @@ def test_two_process_checkpoint_resume(tmp_path):
             b = np.asarray(fb[name])
             assert a.shape == b.shape, name
             np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_writer_gather_single_process_mixed_leaves():
+    """WriterGather's single-process branch (used by dryrun/mesh-in-one-process
+    runs): mixed pytrees of None / numpy / scalars / device arrays come back as
+    host numpy with values intact."""
+    import jax
+    import jax.numpy as jnp
+
+    from kwave_tpu.parallel.distributed import WriterGather
+
+    g = WriterGather()
+    tree = {
+        "none": None,
+        "np": np.arange(4),
+        "scalar": 3,
+        "dev": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "tup": (jnp.int32(7), None),
+    }
+    out = g.gather(tree)
+    assert out["none"] is None
+    np.testing.assert_array_equal(out["np"], np.arange(4))
+    assert out["scalar"] == 3
+    assert isinstance(out["dev"], np.ndarray)
+    np.testing.assert_array_equal(out["dev"], np.arange(6).reshape(2, 3))
+    assert out["tup"][0] == 7 and out["tup"][1] is None
+    g.close()

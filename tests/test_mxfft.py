@@ -297,3 +297,13 @@ def test_auto_direct_base_heuristic():
     y = np.asarray(jax.jit(lambda v: inv(fwd(v), shape))(jnp.asarray(x)))
     rt = np.abs(y - x).max() / np.abs(x).max()
     assert rt < 1e-5, rt
+
+
+def test_auto_mxfft_threshold_by_precision():
+    """mxfft auto-enable threshold (BASELINE.md 2026-08-21): the whole 64^3+
+    envelope at precision "high" (dense-base wins ~2x at 64/128), 256+ at
+    "highest" (6-pass emulation only pays off there)."""
+    from kwave_tpu.driver import _auto_mxfft_min_axis
+
+    assert _auto_mxfft_min_axis("high") == 64
+    assert _auto_mxfft_min_axis("highest") == 256
