@@ -111,12 +111,13 @@ def _auto_direct_base(shape: tuple, fft_precision: str) -> Optional[int]:
     >=256 axis: each skipped radix-2 level removes a full materializing HBM pass
     over the spectrum, worth far more than the extra MXU flops (256^3:
     22.4 -> 18.9 ms/step with base 256; 512^3: 464 -> 331 with base 256 ->
-    226 with base 512). At "highest" the 6 emulation passes make the dense
-    contraction MXU-bound (256^3 measured 92 ms) — keep the 128 base there."""
-    if fft_precision != "high":
-        return None
+    226 with base 512). At "highest" the 6 emulation passes double the MXU cost
+    and the crossover moves up one size: dense loses at 256^3 (92 vs 28 ms) but
+    still wins at 512^3 (360 vs 492 — the saved 1-GB spectrum passes dominate
+    even 6-pass matmuls there)."""
     m = max(int(n) for n in shape[:-1])
-    return m if m >= 256 else None
+    floor = 256 if fft_precision == "high" else 512
+    return m if m >= floor else None
 
 
 def detect_period(data: InputData, run: RunConfig) -> Optional[float]:

@@ -281,7 +281,10 @@ def test_auto_direct_base_heuristic():
     assert _auto_direct_base((512, 64, 64), "high") == 512
     assert _auto_direct_base((256, 256, 256), "high") == 256
     assert _auto_direct_base((128, 128, 128), "high") is None
-    assert _auto_direct_base((512, 512, 512), "highest") is None
+    # at "highest" the crossover moves to 512 (dense wins 360 vs 492 there but
+    # loses at 256^3, BASELINE.md)
+    assert _auto_direct_base((512, 512, 512), "highest") == 512
+    assert _auto_direct_base((256, 256, 256), "highest") is None
     # the dense-base transform stays correct at HIGH precision (K=512: 3-pass
     # bf16 error accumulates over the full contraction)
     shape = (512, 8, 8)
