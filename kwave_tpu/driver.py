@@ -496,9 +496,15 @@ def run_simulation(
             # the pencil's all_to_all trades.
             prec = {"high": lax.Precision.HIGH,
                     "highest": lax.Precision.HIGHEST}[run.fft_precision]
-            perms = {ax: mxfft_mod.perm(int(grid.shape[ax])) for ax in (0, 1)}
+            direct = run.fft_direct_base
+            if direct is None:
+                direct = _auto_direct_base(grid.shape, run.fft_precision)
+            base = direct or mxfft_mod.BASE
+            perms = {ax: mxfft_mod.perm(int(grid.shape[ax]), base)
+                     for ax in (0, 1)}
             ops = mxfft_mod.permute_operators(ops, len(grid.shape), perms)
-            fft = pencil_fft(mesh, grid.nx, engine="mxfft", precision=prec)
+            fft = pencil_fft(mesh, grid.nx, engine="mxfft", precision=prec,
+                             base=base)
         else:
             fft = pencil_fft(mesh, grid.nx)
         ops = shard_operators(ops, len(grid.shape), mesh, grid=grid, pencil=True)

@@ -30,7 +30,8 @@ def spectral_sharding(mesh: Mesh, axis: str = "space") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis, None))
 
 
-def _fwd_local(x, axis_name: str, engine: str = "jnp", precision=None):
+def _fwd_local(x, axis_name: str, engine: str = "jnp", precision=None,
+               base: int = 0):
     """Per-shard forward: local rfft(x)+fft(y), transpose z<->y, local fft(z).
 
     engine="mxfft" routes every chip-local 1D leg through the MXU matmul FFT
@@ -47,7 +48,8 @@ def _fwd_local(x, axis_name: str, engine: str = "jnp", precision=None):
         from kwave_tpu.ops import mxfft
 
         re, im = mxfft._rfft_last(x, x.shape[2], precision)
-        re, im = mxfft._c2c_axis(re, im, 1, ny, False, precision)
+        re, im = mxfft._c2c_axis(re, im, 1, ny, False, precision,
+                                 base or mxfft.BASE)
         xk = jax.lax.complex(re, im)
     else:
         xk = jnp.fft.fft(jnp.fft.rfft(x, axis=2), axis=1)
@@ -61,19 +63,21 @@ def _fwd_local(x, axis_name: str, engine: str = "jnp", precision=None):
         from kwave_tpu.ops import mxfft
 
         re, im = mxfft._c2c_axis(jnp.real(xk), jnp.imag(xk), 0, s * nz_loc,
-                                 False, precision)
+                                 False, precision, base or mxfft.BASE)
         return jax.lax.complex(re, im)
     return jnp.fft.fft(xk, axis=0)
 
 
-def _inv_local(xk, nx: int, axis_name: str, engine: str = "jnp", precision=None):
+def _inv_local(xk, nx: int, axis_name: str, engine: str = "jnp", precision=None,
+               base: int = 0):
     """Per-shard inverse: local ifft(z), transpose y<->z, local ifft(y)+irfft(x)."""
     s = jax.lax.psum(1, axis_name)
     nz, ny_loc, nxr = xk.shape
     if engine == "mxfft":
         from kwave_tpu.ops import mxfft
 
-        re, im = mxfft._c2c_axis(jnp.real(xk), jnp.imag(xk), 0, nz, True, precision)
+        re, im = mxfft._c2c_axis(jnp.real(xk), jnp.imag(xk), 0, nz, True,
+                                 precision, base or mxfft.BASE)
         xk = jax.lax.complex(re, im)
     else:
         xk = jnp.fft.ifft(xk, axis=0)
@@ -85,17 +89,17 @@ def _inv_local(xk, nx: int, axis_name: str, engine: str = "jnp", precision=None)
         from kwave_tpu.ops import mxfft
 
         re, im = mxfft._c2c_axis(jnp.real(xk), jnp.imag(xk), 1, s * ny_loc, True,
-                                 precision)
+                                 precision, base or mxfft.BASE)
         return mxfft._irfft_last(re, im, nx, precision)
     return jnp.fft.irfft(jnp.fft.ifft(xk, axis=1), n=nx, axis=2)
 
 
 def dist_rfftn(x: jax.Array, mesh: Mesh, axis: str = "space",
-               engine: str = "jnp", precision=None) -> jax.Array:
+               engine: str = "jnp", precision=None, base: int = 0) -> jax.Array:
     """3D rfftn of a z-sharded [nz, ny, nx] field -> y-sharded spectral [nz, ny, nxR]."""
     fn = shard_map(
         functools.partial(_fwd_local, axis_name=axis, engine=engine,
-                          precision=precision),
+                          precision=precision, base=base),
         mesh=mesh,
         in_specs=P(axis, None, None),
         out_specs=P(None, axis, None),
@@ -104,11 +108,11 @@ def dist_rfftn(x: jax.Array, mesh: Mesh, axis: str = "space",
 
 
 def dist_irfftn(xk: jax.Array, nx: int, mesh: Mesh, axis: str = "space",
-                engine: str = "jnp", precision=None) -> jax.Array:
+                engine: str = "jnp", precision=None, base: int = 0) -> jax.Array:
     """Inverse of dist_rfftn: y-sharded spectral -> z-sharded real [nz, ny, nx]."""
     fn = shard_map(
         functools.partial(_inv_local, nx=nx, axis_name=axis, engine=engine,
-                          precision=precision),
+                          precision=precision, base=base),
         mesh=mesh,
         in_specs=P(None, axis, None),
         out_specs=P(axis, None, None),

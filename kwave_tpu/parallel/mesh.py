@@ -104,18 +104,21 @@ def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "spa
 
 
 def pencil_fft(mesh: Mesh, nx: int, axis: str = "space", engine: str = "jnp",
-               precision=None):
+               precision=None, base: int = 0):
     """FftOps bound to this mesh's pencil-decomposed distributed FFT — pass as the
     solver step/simulate `fft` argument alongside pencil-sharded operators.
 
     ``engine="mxfft"`` runs every chip-local 1D leg through the MXU matmul FFT
     (y/z bins in mxfft's permuted order — the operators must have gone through
-    ``mxfft.permute_operators`` BEFORE ``shard_operators``, as the driver does)."""
+    ``mxfft.permute_operators`` BEFORE ``shard_operators``, as the driver does).
+    ``base`` raises the base-DFT size the same way driver._auto_direct_base does
+    for single-chip grids (dense local legs beat butterfly passes at >=256 —
+    BASELINE.md)."""
     from kwave_tpu.parallel import fft as dfft
     from kwave_tpu.solver.step import FftOps
 
     return FftOps(
-        rfftn=lambda x: dfft.dist_rfftn(x, mesh, axis, engine, precision),
+        rfftn=lambda x: dfft.dist_rfftn(x, mesh, axis, engine, precision, base),
         irfftn=lambda xk, shape: dfft.dist_irfftn(xk, shape[-1], mesh, axis,
-                                                  engine, precision),
+                                                  engine, precision, base),
     )

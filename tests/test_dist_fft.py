@@ -88,3 +88,18 @@ def test_dist_mxfft_engine_matches_jnp(mesh):
     np.testing.assert_allclose(np.asarray(k_mx), ref_perm, atol=3e-5 * scale)
     np.testing.assert_allclose(np.asarray(back), x, atol=3e-5 * np.abs(x).max())
     assert k_mx.sharding.is_equivalent_to(spectral_sharding(mesh), 3)
+
+    # dense local bases (base=256: no butterfly levels, canonical bin order) —
+    # the >=256 sharded regime the driver auto-picks at precision "high"
+    @jax.jit
+    def dense(a):
+        k = dist_rfftn(a, mesh, engine="mxfft",
+                       precision=jax.lax.Precision.HIGHEST, base=256)
+        return k, dist_irfftn(k, a.shape[2], mesh, engine="mxfft",
+                              precision=jax.lax.Precision.HIGHEST, base=256)
+
+    k_dense, back_dense = dense(xs)
+    np.testing.assert_allclose(np.asarray(k_dense), np.asarray(k_jnp),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(back_dense), x,
+                               atol=3e-5 * np.abs(x).max())
