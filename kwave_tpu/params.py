@@ -75,6 +75,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="no-overlap compression windows")
     p.add_argument("--40-bit_complex", dest="bit40", action="store_true",
                    help="store coefficients in the packed 40-bit format")
+
+    # TPU spectral-engine knobs (no reference counterpart — cuFFT is fixed there;
+    # the mxfft base/precision policy is measured in BASELINE.md)
+    p.add_argument("--fft_precision", choices=["highest", "high"], default="highest",
+                   help="mxfft matmul precision: highest = full fp32 emulation "
+                        "(reference-fidelity default), high = 3-pass bf16 "
+                        "(~1e-6 rel; ~2x faster across the whole grid envelope)")
+    p.add_argument("--mxfft", dest="matmul_fft", action="store_const", const=True,
+                   default=None,
+                   help="force the MXU matmul FFT on (default: auto by grid size "
+                        "and precision)")
+    p.add_argument("--no-mxfft", dest="matmul_fft", action="store_const", const=False,
+                   help="force the MXU matmul FFT off")
+    p.add_argument("--fft_direct_base", type=int, default=None,
+                   help="mxfft dense base-DFT size override (default: auto policy)")
     return p
 
 
@@ -113,4 +128,7 @@ def args_to_run_config(args, dt: Optional[float] = None) -> RunConfig:
         block_size=args.block_size,
         progress_interval=args.progress_interval,
         benchmark_steps=args.benchmark,
+        matmul_fft=args.matmul_fft,
+        fft_precision=args.fft_precision,
+        fft_direct_base=args.fft_direct_base,
     )

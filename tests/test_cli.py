@@ -77,3 +77,22 @@ def test_cli_post_mode_and_copy_mask(tmp_path):
     with h5py.File(out, "r") as f:
         for name in ("Ix_avg", "Iy_avg", "Iz_avg", "Q_term"):
             assert name in f and np.isfinite(np.asarray(f[name])).all()
+
+
+def test_cli_fft_knobs_reach_run_config():
+    """--fft_precision/--mxfft/--fft_direct_base thread into RunConfig (the TPU
+    spectral-engine knobs; no reference counterpart — cuFFT is fixed there)."""
+    from kwave_tpu.params import args_to_run_config, build_parser
+
+    p = build_parser()
+    a = p.parse_args(["-i", "x.h5", "-o", "y.h5", "--p_raw",
+                      "--fft_precision", "high", "--mxfft",
+                      "--fft_direct_base", "256"])
+    run = args_to_run_config(a)
+    assert run.fft_precision == "high"
+    assert run.matmul_fft is True
+    assert run.fft_direct_base == 256
+    a2 = p.parse_args(["-i", "x.h5", "-o", "y.h5", "--p_raw", "--no-mxfft"])
+    run2 = args_to_run_config(a2)
+    assert run2.matmul_fft is False and run2.fft_precision == "highest"
+    assert run2.fft_direct_base is None
