@@ -382,467 +382,559 @@ def run_simulation(
     def _close_gather():
         if _gatherer:
             _gatherer.pop().close()
+    try:
 
-    grid, medium = data.grid, data.medium
-    is3d = grid.dim == 3
+        grid, medium = data.grid, data.medium
+        is3d = grid.dim == 3
 
-    flags = dict(run.flags)
-    # I_avg/Q_term (raw mode) re-read the stored p / u_non_staggered series from the
-    # output file after the run (computeAverageIntensities), so those dependency series
-    # must be real saved datasets.
-    if run.i_avg or run.q_term:
-        flags["p_raw"] = True
-        flags["u_non_staggered_raw"] = True
-    # I_avg_c/Q_term_c accumulate intensity on the fly from the coefficient frames; the
-    # dependency compressed streams run hidden (doNotSave) unless the user also asked for
-    # them — the reference's hidden dependency streams (OutputStreamContainer.cpp:269-325).
-    hidden_flags = set()
-    if run.i_avg_c or run.q_term_c:
-        for k in ("p_c", "u_non_staggered_c"):
-            if not flags.get(k):
-                flags[k] = True
-                hidden_flags.add(k)
+        flags = dict(run.flags)
+        # I_avg/Q_term (raw mode) re-read the stored p / u_non_staggered series from the
+        # output file after the run (computeAverageIntensities), so those dependency series
+        # must be real saved datasets.
+        if run.i_avg or run.q_term:
+            flags["p_raw"] = True
+            flags["u_non_staggered_raw"] = True
+        # I_avg_c/Q_term_c accumulate intensity on the fly from the coefficient frames; the
+        # dependency compressed streams run hidden (doNotSave) unless the user also asked for
+        # them — the reference's hidden dependency streams (OutputStreamContainer.cpp:269-325).
+        hidden_flags = set()
+        if run.i_avg_c or run.q_term_c:
+            for k in ("p_c", "u_non_staggered_c"):
+                if not flags.get(k):
+                    flags[k] = True
+                    hidden_flags.add(k)
 
-    specs = StreamSpec.from_flags(flags, is3d, run.mode40)
-    ax_letters = ("x", "y", "z") if is3d else ("x", "y")
-    if hidden_flags:
-        hidden_names = set()
-        if "p_c" in hidden_flags:
-            hidden_names.add("p_c")
-        if "u_non_staggered_c" in hidden_flags:
-            hidden_names |= {f"u{a}_non_staggered_c" for a in ax_letters}
-        specs = [
-            dataclasses.replace(s, save=False) if s.name in hidden_names else s
-            for s in specs
-        ]
-    if run.i_avg_c or run.q_term_c:
-        for a in ax_letters:
-            specs.append(StreamSpec(f"I{a}_avg_c", f"u{a}_shifted", "iavg_c",
-                                    mode40=run.mode40))
-    has_c = any(s.op == "c" for s in specs)
-    basis = None
-    if has_c:
-        period = detect_period(data, run)
-        if period is None:
-            raise ValueError("compressed streams need --period/--frequency or a source "
-                             "signal for auto-detection")
-        basis = generate_basis(period, run.mos, run.harmonics, normalize=True)
-        # Too few sampled steps for overlapped compression -> auto-force no-overlap
-        # (Parameters::init, Parameters.cpp:141-145: period >= Nt - samplingStart).
-        overlap = not run.no_overlap
-        if period >= grid.nt - run.sampling_start:
-            overlap = False
-        if not overlap:
+        specs = StreamSpec.from_flags(flags, is3d, run.mode40)
+        ax_letters = ("x", "y", "z") if is3d else ("x", "y")
+        if hidden_flags:
+            hidden_names = set()
+            if "p_c" in hidden_flags:
+                hidden_names.add("p_c")
+            if "u_non_staggered_c" in hidden_flags:
+                hidden_names |= {f"u{a}_non_staggered_c" for a in ax_letters}
             specs = [
-                dataclasses.replace(s, overlap=False) if s.op == "c" else s
+                dataclasses.replace(s, save=False) if s.name in hidden_names else s
                 for s in specs
             ]
+        if run.i_avg_c or run.q_term_c:
+            for a in ax_letters:
+                specs.append(StreamSpec(f"I{a}_avg_c", f"u{a}_shifted", "iavg_c",
+                                        mode40=run.mode40))
+        has_c = any(s.op == "c" for s in specs)
+        basis = None
+        if has_c:
+            period = detect_period(data, run)
+            if period is None:
+                raise ValueError("compressed streams need --period/--frequency or a source "
+                                 "signal for auto-detection")
+            basis = generate_basis(period, run.mos, run.harmonics, normalize=True)
+            # Too few sampled steps for overlapped compression -> auto-force no-overlap
+            # (Parameters::init, Parameters.cpp:141-145: period >= Nt - samplingStart).
+            overlap = not run.no_overlap
+            if period >= grid.nt - run.sampling_start:
+                overlap = False
+            if not overlap:
+                specs = [
+                    dataclasses.replace(s, overlap=False) if s.op == "c" else s
+                    for s in specs
+                ]
 
-    need_additive = (data.p_source_mode == 2 and data.p_source_flag) or (
-        data.u_source_mode == 2 and data.u_source_flag_any()
-    )
-    from kwave_tpu.ops import mxfft as mxfft_mod
+        need_additive = (data.p_source_mode == 2 and data.p_source_flag) or (
+            data.u_source_mode == 2 and data.u_source_flag_any()
+        )
+        from kwave_tpu.ops import mxfft as mxfft_mod
 
-    compact = run.compact_operators
-    if compact is None:
-        compact = grid.n_elements >= 192**3
-    use_mxfft = run.matmul_fft
-    mesh_mxfft_ok = mesh is None or (grid.dim == 3 and mxfft_mod.supported(grid.shape))
-    if use_mxfft and not mesh_mxfft_ok:
-        # the mxfft-pencil composition needs a 3D radix-supported grid; an explicit
-        # matmul_fft request would otherwise be silently ignored
-        Logger.log(
-            Logger.BASIC,
-            "WARNING: matmul_fft=True is ignored on this mesh "
-            "(mxfft-pencil needs a 3D radix-supported grid)",
-        )
-        use_mxfft = False
-    if use_mxfft is None:
-        use_mxfft = (
-            jax.default_backend() == "tpu"
-            and mxfft_mod.supported(grid.shape)
-            and max(grid.shape) >= _auto_mxfft_min_axis(run.fft_precision)
-            and mesh_mxfft_ok
-        )
-        if use_mxfft:
+        compact = run.compact_operators
+        if compact is None:
+            compact = grid.n_elements >= 192**3
+        use_mxfft = run.matmul_fft
+        mesh_mxfft_ok = mesh is None or (grid.dim == 3 and mxfft_mod.supported(grid.shape))
+        if use_mxfft and not mesh_mxfft_ok:
+            # the mxfft-pencil composition needs a 3D radix-supported grid; an explicit
+            # matmul_fft request would otherwise be silently ignored
             Logger.log(
-                Logger.ADVANCED,
-                "  mxfft auto-enabled (matmul FFT, precision=%s%s)",
-                run.fft_precision,
-                ", pencil locals" if mesh is not None else "",
+                Logger.BASIC,
+                "WARNING: matmul_fft=True is ignored on this mesh "
+                "(mxfft-pencil needs a 3D radix-supported grid)",
             )
-    ops = make_operators(
-        grid, medium, data.pml_size, data.pml_alpha,
-        absorbing=data.absorbing,
-        need_source_kappa=bool(need_additive),
-        need_shift=streams_mod.needs_shifted_velocity(specs),
-        nonuniform=data.nonuniform_maps if data.nonuniform else None,
-        compact=bool(compact),
-    )
-    # Stage the operator set on device ONCE. Leaving them as host numpy would re-upload
-    # every buffer on every window call (25x slower over the axon tunnel), while baking
-    # them in as HLO constants blows up compilation at 256^3 — device-resident buffers
-    # referenced by the executable are the fast path on both counts.
-    fft = None
-    if mesh is not None:
-        from kwave_tpu.parallel import pencil_fft, shard_operators
-
-        if use_mxfft:
-            # the pencil's chip-local 1D legs run through the mxfft base-DFT
-            # machinery (VERDICT r3 #7: the >=256 regime where mxfft wins is
-            # exactly the regime multi-chip targets). Spectral operators are
-            # permuted to mxfft's y/z bin order BEFORE sharding, so each y-shard
-            # holds one contiguous block of the permuted order — the same blocks
-            # the pencil's all_to_all trades.
-            prec = {"high": lax.Precision.HIGH,
-                    "highest": lax.Precision.HIGHEST}[run.fft_precision]
-            direct = run.fft_direct_base
-            if direct is None:
-                direct = _auto_direct_base(grid.shape, run.fft_precision)
-            base = direct or mxfft_mod.BASE
-            perms = {ax: mxfft_mod.perm(int(grid.shape[ax]), base)
-                     for ax in (0, 1)}
-            ops = mxfft_mod.permute_operators(ops, len(grid.shape), perms)
-            fft = pencil_fft(mesh, grid.nx, engine="mxfft", precision=prec,
-                             base=base)
-        else:
-            fft = pencil_fft(mesh, grid.nx)
-        ops = shard_operators(ops, len(grid.shape), mesh, grid=grid, pencil=True)
-    else:
-        if use_mxfft:
-            # MXU matmul FFT with permuted spectral bin order; operators reordered
-            # once here so the solver pays zero runtime for the permutation.
-            from kwave_tpu.solver.step import FftOps
-
-            prec = {"high": lax.Precision.HIGH,
-                    "highest": lax.Precision.HIGHEST}[run.fft_precision]
-            direct = run.fft_direct_base
-            if direct is None:
-                direct = _auto_direct_base(grid.shape, run.fft_precision)
-            rfftn_fn, irfftn_fn, ax_perms = mxfft_mod.make_fft_ops(
-                grid.shape, precision=prec, direct_base=direct
+            use_mxfft = False
+        if use_mxfft is None:
+            use_mxfft = (
+                jax.default_backend() == "tpu"
+                and mxfft_mod.supported(grid.shape)
+                and max(grid.shape) >= _auto_mxfft_min_axis(run.fft_precision)
+                and mesh_mxfft_ok
             )
-            shift_fn = mxfft_mod.make_shift_ops(ops, grid.shape, precision=prec)
-            # fused z-stage pipeline: needs the per-axis k^2 vectors (compact
-            # mode) and dense y/z bases (canonical bin order — zfuse's layout
-            # contract). The plan is built from HOST operator vectors here,
-            # before staging.
-            use_zfuse = run.fuse_z
-            if use_zfuse is None:
-                use_zfuse = False  # measured slower than the dense-base pipeline
-            elif use_zfuse and not (bool(compact) and grid.dim == 3):
-                Logger.log(Logger.BASIC,
-                           "WARNING: fuse_z needs 3D compact operators; ignored")
-                use_zfuse = False
-            spectral_multi = None
-            if use_zfuse:
-                from kwave_tpu.ops import zfuse
-
-                spectral_multi = zfuse.make_pipeline(
-                    grid.shape, ops.k2_z, ops.k2_y, ops.k2_x,
-                    ops.c_ref_dt_2, precision=prec,
+            if use_mxfft:
+                Logger.log(
+                    Logger.ADVANCED,
+                    "  mxfft auto-enabled (matmul FFT, precision=%s%s)",
+                    run.fft_precision,
+                    ", pencil locals" if mesh is not None else "",
                 )
-                Logger.log(Logger.ADVANCED,
-                           "  zfuse enabled (fused z-stage spectral multiply)")
-            ops = mxfft_mod.permute_operators(ops, len(grid.shape), ax_perms)
-            # batched=False: stacking the velocity-gradient transforms into one
-            # batched mxfft call measured SLOWER at 256^3 (40.3 vs 28.4 ms/step)
-            # and 512^3 (241 vs 226) — the jnp.stack materializations cost more
-            # HBM traffic than the larger base-DFT batch saves in MXU issue.
-            fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn,
-                         spectral_multi=spectral_multi)
-        ops = jax.tree_util.tree_map(jnp.asarray, ops)
-    cfg = SolverConfig(
-        nonlinear=data.nonlinear,
-        absorbing=data.absorbing,
-        p0_source_flag=data.p0 is not None,
-        p_source_flag=data.p_source_flag,
-        p_source_mode=data.p_source_mode,
-        p_source_many=data.p_source_many,
-        u_source_flag=max(data.ux_source_flag, data.uy_source_flag, data.uz_source_flag),
-        u_source_mode=data.u_source_mode,
-        u_source_many=data.u_source_many,
-        transducer_source_flag=data.transducer_source_flag,
-        sampling_start_index=run.sampling_start,
-    )
-    import contextlib
-
-    from kwave_tpu.solver.step import LOCAL_FFT
-
-    mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
-    src = Sources(
-        p0=jnp.asarray(data.p0) if data.p0 is not None else None,
-        p_index=jnp.asarray(data.p_source_index) if data.p_source_index is not None else None,
-        p_signal=jnp.asarray(data.p_source_input) if data.p_source_input is not None else None,
-        u_index=jnp.asarray(data.u_source_index) if data.u_source_index is not None else None,
-        ux_signal=jnp.asarray(data.ux_source_input) if data.ux_source_input is not None else None,
-        uy_signal=jnp.asarray(data.uy_source_input) if data.uy_source_input is not None else None,
-        uz_signal=jnp.asarray(data.uz_source_input) if data.uz_source_input is not None else None,
-        transducer_index=jnp.asarray(data.u_source_index)
-        if data.transducer_source_flag and data.u_source_index is not None else None,
-        transducer_signal=jnp.asarray(data.transducer_source_input)
-        if data.transducer_source_input is not None else None,
-        delay_mask=jnp.asarray(data.delay_mask) if data.delay_mask is not None else None,
-    )
-
-    cuboid_shapes = None
-    if data.sensor_mask_index is not None:
-        mask = jnp.asarray(data.sensor_mask_index.astype(np.int32))
-    else:
-        # cuboid corners -> one linearized index gather on device; the writer splits
-        # emissions back into the reference's per-cuboid group layout
-        # (CuboidOutputStream.cpp:656-722)
-        mask = jnp.asarray(_corners_to_indices(data.sensor_mask_corners, grid))
-        cuboid_shapes = [
-            (int(x2 - x1 + 1), int(y2 - y1 + 1), int(z2 - z1 + 1))
-            for x1, y1, z1, x2, y2, z2 in data.sensor_mask_corners
-        ]
-    n_sensors = int(mask.shape[0])
-
-    sim_state = init_state(grid)
-    if mesh is not None:
-        from kwave_tpu.parallel import field_sharding, replicated, shard_state
-
-        sim_state = shard_state(sim_state, mesh)
-
-        def _put_src(x):
-            if np.ndim(x) == len(grid.shape) and tuple(x.shape) == grid.shape:
-                return jax.device_put(x, field_sharding(mesh, len(grid.shape)))
-            return jax.device_put(x, replicated(mesh))
-
-        src = jax.tree_util.tree_map(_put_src, src)
-        mask = jax.device_put(mask, replicated(mesh))
-    t0 = 0
-    ck = None
-    if resume_from is not None:
-        ck = ckpt_io.read_checkpoint(resume_from)
-        # Recovery validation (the reference checks checkpoint dims against the input
-        # grid on restore, KSpaceFirstOrderSolver::loadInputData,
-        # KSpaceFirstOrderSolver.cpp:189-228) — a stale checkpoint from another run
-        # would otherwise silently corrupt the output.
-        ck_dims = tuple(int(v) for v in ck["grid_shape"])
-        if ck_dims != (grid.nx, grid.ny, grid.nz):
-            raise ValueError(
-                f"checkpoint file {resume_from!r} was written for grid "
-                f"{ck_dims} (nx, ny, nz) but the input file has "
-                f"({grid.nx}, {grid.ny}, {grid.nz})"
-            )
-        if not (0 <= int(ck["t_index"]) <= grid.nt):
-            raise ValueError(
-                f"checkpoint t_index {ck['t_index']} outside the input's "
-                f"0..nt={grid.nt} range"
-            )
-        t0 = ck["t_index"]
-        shp = grid.shape
-        fd = ck["fields"]
-        sim_state = SimState(
-            p=jnp.asarray(fd["p"].reshape(shp)),
-            ux_sgx=jnp.asarray(fd["ux_sgx"].reshape(shp)),
-            uy_sgy=jnp.asarray(fd["uy_sgy"].reshape(shp)),
-            uz_sgz=jnp.asarray(fd["uz_sgz"].reshape(shp)) if is3d else None,
-            rho_x=jnp.asarray(fd["rhox"].reshape(shp)),
-            rho_y=jnp.asarray(fd["rhoy"].reshape(shp)),
-            rho_z=jnp.asarray(fd["rhoz"].reshape(shp)) if is3d else None,
+        ops = make_operators(
+            grid, medium, data.pml_size, data.pml_alpha,
+            absorbing=data.absorbing,
+            need_source_kappa=bool(need_additive),
+            need_shift=streams_mod.needs_shifted_velocity(specs),
+            nonuniform=data.nonuniform_maps if data.nonuniform else None,
+            compact=bool(compact),
         )
+        # Stage the operator set on device ONCE. Leaving them as host numpy would re-upload
+        # every buffer on every window call (25x slower over the axon tunnel), while baking
+        # them in as HLO constants blows up compilation at 256^3 — device-resident buffers
+        # referenced by the executable are the fast path on both counts.
+        fft = None
         if mesh is not None:
-            from kwave_tpu.parallel import shard_state
+            from kwave_tpu.parallel import pencil_fft, shard_operators
+
+            if use_mxfft:
+                # the pencil's chip-local 1D legs run through the mxfft base-DFT
+                # machinery (VERDICT r3 #7: the >=256 regime where mxfft wins is
+                # exactly the regime multi-chip targets). Spectral operators are
+                # permuted to mxfft's y/z bin order BEFORE sharding, so each y-shard
+                # holds one contiguous block of the permuted order — the same blocks
+                # the pencil's all_to_all trades.
+                prec = {"high": lax.Precision.HIGH,
+                        "highest": lax.Precision.HIGHEST}[run.fft_precision]
+                direct = run.fft_direct_base
+                if direct is None:
+                    direct = _auto_direct_base(grid.shape, run.fft_precision)
+                base = direct or mxfft_mod.BASE
+                perms = {ax: mxfft_mod.perm(int(grid.shape[ax]), base)
+                         for ax in (0, 1)}
+                ops = mxfft_mod.permute_operators(ops, len(grid.shape), perms)
+                fft = pencil_fft(mesh, grid.nx, engine="mxfft", precision=prec,
+                                 base=base)
+            else:
+                fft = pencil_fft(mesh, grid.nx)
+            ops = shard_operators(ops, len(grid.shape), mesh, grid=grid, pencil=True)
+        else:
+            if use_mxfft:
+                # MXU matmul FFT with permuted spectral bin order; operators reordered
+                # once here so the solver pays zero runtime for the permutation.
+                from kwave_tpu.solver.step import FftOps
+
+                prec = {"high": lax.Precision.HIGH,
+                        "highest": lax.Precision.HIGHEST}[run.fft_precision]
+                direct = run.fft_direct_base
+                if direct is None:
+                    direct = _auto_direct_base(grid.shape, run.fft_precision)
+                rfftn_fn, irfftn_fn, ax_perms = mxfft_mod.make_fft_ops(
+                    grid.shape, precision=prec, direct_base=direct
+                )
+                shift_fn = mxfft_mod.make_shift_ops(ops, grid.shape, precision=prec)
+                # fused z-stage pipeline: needs the per-axis k^2 vectors (compact
+                # mode) and dense y/z bases (canonical bin order — zfuse's layout
+                # contract). The plan is built from HOST operator vectors here,
+                # before staging.
+                use_zfuse = run.fuse_z
+                if use_zfuse is None:
+                    use_zfuse = False  # measured slower than the dense-base pipeline
+                elif use_zfuse and not (bool(compact) and grid.dim == 3):
+                    Logger.log(Logger.BASIC,
+                               "WARNING: fuse_z needs 3D compact operators; ignored")
+                    use_zfuse = False
+                spectral_multi = None
+                if use_zfuse:
+                    from kwave_tpu.ops import zfuse
+
+                    spectral_multi = zfuse.make_pipeline(
+                        grid.shape, ops.k2_z, ops.k2_y, ops.k2_x,
+                        ops.c_ref_dt_2, precision=prec,
+                    )
+                    Logger.log(Logger.ADVANCED,
+                               "  zfuse enabled (fused z-stage spectral multiply)")
+                ops = mxfft_mod.permute_operators(ops, len(grid.shape), ax_perms)
+                # batched=False: stacking the velocity-gradient transforms into one
+                # batched mxfft call measured SLOWER at 256^3 (40.3 vs 28.4 ms/step)
+                # and 512^3 (241 vs 226) — the jnp.stack materializations cost more
+                # HBM traffic than the larger base-DFT batch saves in MXU issue.
+                fft = FftOps(rfftn=rfftn_fn, irfftn=irfftn_fn, shift_axis=shift_fn,
+                             spectral_multi=spectral_multi)
+            ops = jax.tree_util.tree_map(jnp.asarray, ops)
+        cfg = SolverConfig(
+            nonlinear=data.nonlinear,
+            absorbing=data.absorbing,
+            p0_source_flag=data.p0 is not None,
+            p_source_flag=data.p_source_flag,
+            p_source_mode=data.p_source_mode,
+            p_source_many=data.p_source_many,
+            u_source_flag=max(data.ux_source_flag, data.uy_source_flag, data.uz_source_flag),
+            u_source_mode=data.u_source_mode,
+            u_source_many=data.u_source_many,
+            transducer_source_flag=data.transducer_source_flag,
+            sampling_start_index=run.sampling_start,
+        )
+        import contextlib
+
+        from kwave_tpu.solver.step import LOCAL_FFT
+
+        mesh_ctx = (lambda: mesh) if mesh is not None else contextlib.nullcontext
+        src = Sources(
+            p0=jnp.asarray(data.p0) if data.p0 is not None else None,
+            p_index=jnp.asarray(data.p_source_index) if data.p_source_index is not None else None,
+            p_signal=jnp.asarray(data.p_source_input) if data.p_source_input is not None else None,
+            u_index=jnp.asarray(data.u_source_index) if data.u_source_index is not None else None,
+            ux_signal=jnp.asarray(data.ux_source_input) if data.ux_source_input is not None else None,
+            uy_signal=jnp.asarray(data.uy_source_input) if data.uy_source_input is not None else None,
+            uz_signal=jnp.asarray(data.uz_source_input) if data.uz_source_input is not None else None,
+            transducer_index=jnp.asarray(data.u_source_index)
+            if data.transducer_source_flag and data.u_source_index is not None else None,
+            transducer_signal=jnp.asarray(data.transducer_source_input)
+            if data.transducer_source_input is not None else None,
+            delay_mask=jnp.asarray(data.delay_mask) if data.delay_mask is not None else None,
+        )
+
+        cuboid_shapes = None
+        if data.sensor_mask_index is not None:
+            mask = jnp.asarray(data.sensor_mask_index.astype(np.int32))
+        else:
+            # cuboid corners -> one linearized index gather on device; the writer splits
+            # emissions back into the reference's per-cuboid group layout
+            # (CuboidOutputStream.cpp:656-722)
+            mask = jnp.asarray(_corners_to_indices(data.sensor_mask_corners, grid))
+            cuboid_shapes = [
+                (int(x2 - x1 + 1), int(y2 - y1 + 1), int(z2 - z1 + 1))
+                for x1, y1, z1, x2, y2, z2 in data.sensor_mask_corners
+            ]
+        n_sensors = int(mask.shape[0])
+
+        sim_state = init_state(grid)
+        if mesh is not None:
+            from kwave_tpu.parallel import field_sharding, replicated, shard_state
 
             sim_state = shard_state(sim_state, mesh)
 
-    # t==0 initial-pressure peel (the reference applies p0 once,
-    # KSpaceFirstOrderSolver.cpp:925-928): the first step's post-state is the
-    # state-independent addInitialPressureSource result, so it is hoisted out of
-    # every scan — whichever program covers step 0 (lead-in, first window, or the
-    # tail) computes it once at its top, and the scanned step NEVER carries the p0
-    # branch (no per-step lax.cond, no 7-field precomputed init state in HBM).
-    peel_pending = cfg.p0_source_flag and t0 == 0
-    cfg = dataclasses.replace(cfg, p0_source_flag=False)
+            def _put_src(x):
+                if np.ndim(x) == len(grid.shape) and tuple(x.shape) == grid.shape:
+                    return jax.device_put(x, field_sharding(mesh, len(grid.shape)))
+                return jax.device_put(x, replicated(mesh))
 
-    sampled_steps = grid.nt - run.sampling_start
-    o = basis.o_size if basis is not None else min(max(sampled_steps, 1), 64)
-    stream_states = streams_mod.init_stream_states(specs, n_sensors, grid.n_elements, basis)
+            src = jax.tree_util.tree_map(_put_src, src)
+            mask = jax.device_put(mask, replicated(mesh))
+        t0 = 0
+        ck = None
+        if resume_from is not None:
+            ck = ckpt_io.read_checkpoint(resume_from)
+            # Recovery validation (the reference checks checkpoint dims against the input
+            # grid on restore, KSpaceFirstOrderSolver::loadInputData,
+            # KSpaceFirstOrderSolver.cpp:189-228) — a stale checkpoint from another run
+            # would otherwise silently corrupt the output.
+            ck_dims = tuple(int(v) for v in ck["grid_shape"])
+            if ck_dims != (grid.nx, grid.ny, grid.nz):
+                raise ValueError(
+                    f"checkpoint file {resume_from!r} was written for grid "
+                    f"{ck_dims} (nx, ny, nz) but the input file has "
+                    f"({grid.nx}, {grid.ny}, {grid.nz})"
+                )
+            if not (0 <= int(ck["t_index"]) <= grid.nt):
+                raise ValueError(
+                    f"checkpoint t_index {ck['t_index']} outside the input's "
+                    f"0..nt={grid.nt} range"
+                )
+            t0 = ck["t_index"]
+            shp = grid.shape
+            fd = ck["fields"]
+            sim_state = SimState(
+                p=jnp.asarray(fd["p"].reshape(shp)),
+                ux_sgx=jnp.asarray(fd["ux_sgx"].reshape(shp)),
+                uy_sgy=jnp.asarray(fd["uy_sgy"].reshape(shp)),
+                uz_sgz=jnp.asarray(fd["uz_sgz"].reshape(shp)) if is3d else None,
+                rho_x=jnp.asarray(fd["rhox"].reshape(shp)),
+                rho_y=jnp.asarray(fd["rhoy"].reshape(shp)),
+                rho_z=jnp.asarray(fd["rhoz"].reshape(shp)) if is3d else None,
+            )
+            if mesh is not None:
+                from kwave_tpu.parallel import shard_state
 
-    if ck is not None:
-        # reopen output RW and seek streams (reference recovery,
-        # KSpaceFirstOrderSolver.cpp:186-228). Multi-process: every process restores
-        # the IDENTICAL stream state (the encoder accumulators and aggregate buffers
-        # feed collective computation and must agree across ranks), so the checkpoint
-        # and output files must be visible on every host — the reference's
-        # single-filesystem assumption generalized (shared FS / GCS on real pods).
-        # Only process 0 holds the RW writer handle; other ranks read without taking
-        # the HDF5 file lock so the writer's r+ open can proceed concurrently.
-        import h5py
+                sim_state = shard_state(sim_state, mesh)
 
-        sampled_done = max(t0 - run.sampling_start, 0)
-        if is_writer:
-            f = h5py.File(output_path, "r+")
-            f_read = f
-        else:
-            f = None
-            f_read = h5py.File(output_path, "r", locking=False)
-        # the output file must belong to the same (interrupted) run: its raw datasets
-        # are sized for the full record and must cover the rows already produced
-        # (reference recovery consistency, KSpaceFirstOrderSolver.cpp:189-228)
-        for s in specs:
-            if s.op == "raw" and s.save and cuboid_shapes is None:
-                if s.name not in f_read:
-                    raise ValueError(
-                        f"output file {output_path!r} lacks dataset {s.name!r} "
-                        "expected by the checkpointed run"
-                    )
-                rows_total = f_read[s.name].shape[1]
-                if rows_total != sampled_steps or sampled_done > rows_total:
-                    raise ValueError(
-                        f"output dataset {s.name!r} has {rows_total} rows but the "
-                        f"checkpoint expects {sampled_steps} total "
-                        f"({sampled_done} done) — output/checkpoint mismatch"
-                    )
-        writer = (
-            StreamWriter(
+        # t==0 initial-pressure peel (the reference applies p0 once,
+        # KSpaceFirstOrderSolver.cpp:925-928): the first step's post-state is the
+        # state-independent addInitialPressureSource result, so it is hoisted out of
+        # every scan — whichever program covers step 0 (lead-in, first window, or the
+        # tail) computes it once at its top, and the scanned step NEVER carries the p0
+        # branch (no per-step lax.cond, no 7-field precomputed init state in HBM).
+        peel_pending = cfg.p0_source_flag and t0 == 0
+        cfg = dataclasses.replace(cfg, p0_source_flag=False)
+
+        sampled_steps = grid.nt - run.sampling_start
+        o = basis.o_size if basis is not None else min(max(sampled_steps, 1), 64)
+        stream_states = streams_mod.init_stream_states(specs, n_sensors, grid.n_elements, basis)
+
+        if ck is not None:
+            # reopen output RW and seek streams (reference recovery,
+            # KSpaceFirstOrderSolver.cpp:186-228). Multi-process: every process restores
+            # the IDENTICAL stream state (the encoder accumulators and aggregate buffers
+            # feed collective computation and must agree across ranks), so the checkpoint
+            # and output files must be visible on every host — the reference's
+            # single-filesystem assumption generalized (shared FS / GCS on real pods).
+            # Only process 0 holds the RW writer handle; other ranks read without taking
+            # the HDF5 file lock so the writer's r+ open can proceed concurrently.
+            import h5py
+
+            sampled_done = max(t0 - run.sampling_start, 0)
+            if is_writer:
+                f = h5py.File(output_path, "r+")
+                f_read = f
+            else:
+                f = None
+                f_read = h5py.File(output_path, "r", locking=False)
+            # the output file must belong to the same (interrupted) run: its raw datasets
+            # are sized for the full record and must cover the rows already produced
+            # (reference recovery consistency, KSpaceFirstOrderSolver.cpp:189-228)
+            for s in specs:
+                if s.op == "raw" and s.save and cuboid_shapes is None:
+                    if s.name not in f_read:
+                        raise ValueError(
+                            f"output file {output_path!r} lacks dataset {s.name!r} "
+                            "expected by the checkpointed run"
+                        )
+                    rows_total = f_read[s.name].shape[1]
+                    if rows_total != sampled_steps or sampled_done > rows_total:
+                        raise ValueError(
+                            f"output dataset {s.name!r} has {rows_total} rows but the "
+                            f"checkpoint expects {sampled_steps} total "
+                            f"({sampled_done} done) — output/checkpoint mismatch"
+                        )
+            writer = (
+                StreamWriter(
+                    f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
+                    run.compression_level, reopen=True, rows_done=sampled_done,
+                    cuboid_shapes=cuboid_shapes, field_shape=grid.shape,
+                )
+                if is_writer else None
+            )
+            stream_states = streams_mod.restore_stream_states(
+                stream_states, ck["stream_coeffs"], specs, sampled_done, o
+            )
+            stream_states = streams_mod.restore_aggregates_from_file(
+                stream_states, specs, f_read, sampled_done
+            )
+            timers.restore_cumulated(read_cumulated_times(f_read))
+            if not is_writer:
+                f_read.close()
+        elif is_writer:
+            f = create_output_file(output_path)
+            writer = StreamWriter(
                 f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
-                run.compression_level, reopen=True, rows_done=sampled_done,
-                cuboid_shapes=cuboid_shapes, field_shape=grid.shape,
+                run.compression_level, cuboid_shapes=cuboid_shapes, field_shape=grid.shape,
             )
-            if is_writer else None
-        )
-        stream_states = streams_mod.restore_stream_states(
-            stream_states, ck["stream_coeffs"], specs, sampled_done, o
-        )
-        stream_states = streams_mod.restore_aggregates_from_file(
-            stream_states, specs, f_read, sampled_done
-        )
-        timers.restore_cumulated(read_cumulated_times(f_read))
-        if not is_writer:
-            f_read.close()
-    elif is_writer:
-        f = create_output_file(output_path)
-        writer = StreamWriter(
-            f, specs, n_sensors, grid.n_elements, sampled_steps, basis,
-            run.compression_level, cuboid_shapes=cuboid_shapes, field_shape=grid.shape,
-        )
-    else:  # non-writer process: full compute, no file
-        f = None
-        writer = None
-    window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
-                            ops=ops, src=src, mask=mask, fft=fft)
-    # simulation header (the reference's verbose run summary, printed by Logger at the
-    # Advanced level — OutputMessages simulation-detail block)
-    Logger.log(Logger.ADVANCED, "Simulation: %dD grid %dx%dx%d, nt=%d, dt=%.3e",
-               grid.dim, grid.nx, grid.ny, grid.nz, grid.nt, grid.dt)
-    Logger.log(Logger.ADVANCED,
-               "  medium: %s, %s | sources: p0=%s p=%d u=%d transducer=%d",
-               "nonlinear" if cfg.nonlinear else "linear",
-               "absorbing" if cfg.absorbing else "lossless",
-               data.p0 is not None, cfg.p_source_flag, cfg.u_source_flag,
-               cfg.transducer_source_flag)
-    Logger.log(Logger.ADVANCED, "  sensors: %d (%s mask) | streams: %s",
-               n_sensors, "cuboid" if cuboid_shapes is not None else "index",
-               ", ".join(s.name + ("" if s.save else " (hidden)") for s in specs))
-    if basis is not None:
+        else:  # non-writer process: full compute, no file
+            f = None
+            writer = None
+        window = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
+                                ops=ops, src=src, mask=mask, fft=fft)
+        # simulation header (the reference's verbose run summary, printed by Logger at the
+        # Advanced level — OutputMessages simulation-detail block)
+        Logger.log(Logger.ADVANCED, "Simulation: %dD grid %dx%dx%d, nt=%d, dt=%.3e",
+                   grid.dim, grid.nx, grid.ny, grid.nz, grid.nt, grid.dt)
         Logger.log(Logger.ADVANCED,
-                   "  compression: period=%.4g mos=%d harmonics=%d oSize=%d mode40=%s",
-                   basis.period, basis.mos, basis.harmonics, basis.o_size, run.mode40)
-    if mesh is not None:
-        Logger.log(Logger.ADVANCED, "  mesh: %d devices (%s)",
-                   mesh.devices.size, ",".join(map(str, mesh.axis_names)))
-    timers.stop("preprocessing")
-    timers.start("simulation")
-    wall0 = _time.time()
+                   "  medium: %s, %s | sources: p0=%s p=%d u=%d transducer=%d",
+                   "nonlinear" if cfg.nonlinear else "linear",
+                   "absorbing" if cfg.absorbing else "lossless",
+                   data.p0 is not None, cfg.p_source_flag, cfg.u_source_flag,
+                   cfg.transducer_source_flag)
+        Logger.log(Logger.ADVANCED, "  sensors: %d (%s mask) | streams: %s",
+                   n_sensors, "cuboid" if cuboid_shapes is not None else "index",
+                   ", ".join(s.name + ("" if s.save else " (hidden)") for s in specs))
+        if basis is not None:
+            Logger.log(Logger.ADVANCED,
+                       "  compression: period=%.4g mos=%d harmonics=%d oSize=%d mode40=%s",
+                       basis.period, basis.mos, basis.harmonics, basis.o_size, run.mode40)
+        if mesh is not None:
+            Logger.log(Logger.ADVANCED, "  mesh: %d devices (%s)",
+                       mesh.devices.size, ",".join(map(str, mesh.axis_names)))
+        timers.stop("preprocessing")
+        timers.start("simulation")
+        wall0 = _time.time()
 
-    # lead-in: steps before sampling starts (reference skips storage until t >= s,
-    # KSpaceFirstOrderSolver.cpp:1060-1068)
-    t = t0
-    if run.sampling_start > t:
-        from kwave_tpu.solver import make_simulate_fn
+        # lead-in: steps before sampling starts (reference skips storage until t >= s,
+        # KSpaceFirstOrderSolver.cpp:1060-1068)
+        t = t0
+        if run.sampling_start > t:
+            from kwave_tpu.solver import make_simulate_fn
 
-        t_lead = _time.time()
-        lead_from = t
-        if peel_pending:
-            from kwave_tpu.solver.step import add_initial_pressure
+            t_lead = _time.time()
+            lead_from = t
+            if peel_pending:
+                from kwave_tpu.solver.step import add_initial_pressure
 
-            init_fn = jax.jit(
-                lambda st, ops_, p0_: add_initial_pressure(
-                    st, ops_, p0_, fft or LOCAL_FFT
-                ),
-                donate_argnums=(0,),
-            )
-            with mesh_ctx():
-                sim_state = init_fn(sim_state, ops, src.p0)
+                init_fn = jax.jit(
+                    lambda st, ops_, p0_: add_initial_pressure(
+                        st, ops_, p0_, fft or LOCAL_FFT
+                    ),
+                    donate_argnums=(0,),
+                )
+                with mesh_ctx():
+                    sim_state = init_fn(sim_state, ops, src.p0)
+                peel_pending = False
+                lead_from = t + 1
+            if run.sampling_start > lead_from:
+                lead = make_simulate_fn(ops, src, cfg, run.sampling_start - lead_from,
+                                        fft=fft or LOCAL_FFT)
+                with mesh_ctx():
+                    sim_state, _ = lead(sim_state, jnp.int32(lead_from))
+            jax.block_until_ready(sim_state.p)
+            dt_lead = _time.time() - t_lead
+            for _ in range(run.sampling_start - t):
+                timers.add_iteration(dt_lead / (run.sampling_start - t), sampled=False)
+            t = run.sampling_start
+
+        n_windows = (grid.nt - t) // o
+        interrupted = False
+        pending = None  # one-window-delayed flush: host HDF5 writes of window w overlap the
+        # device compute of window w+1 (the reference's delayed flushRawStreams,
+        # KSpaceFirstOrderSolver.cpp:1065-1072, restructured at window granularity)
+        window_first = window
+        if peel_pending and n_windows > 0:
+            # separate first-window program with the t==0 step peeled out of its scan
+            window_first = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
+                                          ops=ops, src=src, mask=mask, fft=fft,
+                                          peel_p0=True)
             peel_pending = False
-            lead_from = t + 1
-        if run.sampling_start > lead_from:
-            lead = make_simulate_fn(ops, src, cfg, run.sampling_start - lead_from,
-                                    fft=fft or LOCAL_FFT)
+        for w in range(n_windows):
+            t_it = _time.time()
             with mesh_ctx():
-                sim_state, _ = lead(sim_state, jnp.int32(lead_from))
-        jax.block_until_ready(sim_state.p)
-        dt_lead = _time.time() - t_lead
-        for _ in range(run.sampling_start - t):
-            timers.add_iteration(dt_lead / (run.sampling_start - t), sampled=False)
-        t = run.sampling_start
+                sim_state, stream_states, emissions = (window_first if w == 0 else window)(
+                    sim_state, stream_states, jnp.int32(t)
+                )
+            if pending is not None:
+                pending = _host(pending)  # collective under multi-process: all ranks join
+                if writer is not None:
+                    writer.flush_emissions(pending)
+            pending = emissions
+            dt_it = _time.time() - t_it
+            for _ in range(o):
+                timers.add_iteration(dt_it / o, sampled=True)
+            t += o
+            Logger.progress(t - t0, grid.nt - t0, wall0, run.progress_interval)
+            if run.checkpoint_file is not None and t < grid.nt and (
+                (run.checkpoint_interval_steps is not None
+                 and t - t0 >= run.checkpoint_interval_steps)
+                or (run.checkpoint_interval_seconds is not None
+                    and _time.time() - wall0 >= run.checkpoint_interval_seconds)
+            ):
+                # checkpoint leg boundary: elapsed-seconds or step-count trigger, first met
+                # wins (isTimeToCheckpoint, Parameters.cpp:683; window granularity keeps the
+                # encoder state frame-aligned)
+                interrupted = True
+                break
 
-    n_windows = (grid.nt - t) // o
-    interrupted = False
-    pending = None  # one-window-delayed flush: host HDF5 writes of window w overlap the
-    # device compute of window w+1 (the reference's delayed flushRawStreams,
-    # KSpaceFirstOrderSolver.cpp:1065-1072, restructured at window granularity)
-    window_first = window
-    if peel_pending and n_windows > 0:
-        # separate first-window program with the t==0 step peeled out of its scan
-        window_first = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
-                                      ops=ops, src=src, mask=mask, fft=fft,
-                                      peel_p0=True)
-        peel_pending = False
-    for w in range(n_windows):
-        t_it = _time.time()
-        with mesh_ctx():
-            sim_state, stream_states, emissions = (window_first if w == 0 else window)(
-                sim_state, stream_states, jnp.int32(t)
-            )
         if pending is not None:
-            pending = _host(pending)  # collective under multi-process: all ranks join
+            pending = _host(pending)
             if writer is not None:
                 writer.flush_emissions(pending)
-        pending = emissions
-        dt_it = _time.time() - t_it
-        for _ in range(o):
-            timers.add_iteration(dt_it / o, sampled=True)
-        t += o
-        Logger.progress(t - t0, grid.nt - t0, wall0, run.progress_interval)
-        if run.checkpoint_file is not None and t < grid.nt and (
-            (run.checkpoint_interval_steps is not None
-             and t - t0 >= run.checkpoint_interval_steps)
-            or (run.checkpoint_interval_seconds is not None
-                and _time.time() - wall0 >= run.checkpoint_interval_seconds)
-        ):
-            # checkpoint leg boundary: elapsed-seconds or step-count trigger, first met
-            # wins (isTimeToCheckpoint, Parameters.cpp:683; window granularity keeps the
-            # encoder state frame-aligned)
-            interrupted = True
-            break
+            pending = None
+        if interrupted:
+            # aggregates are persisted RAW at leg boundaries; only the final leg finalizes
+            # (IndexOutputStream reopen/postProcess split)
+            host_states = _host(stream_states)
+            host_sim = _host(sim_state)
+            if writer is not None:
+                writer.flush_aggregates(streams_mod.raw_aggregates(host_states, specs))
+            if is_writer:
+                ckpt_io.write_checkpoint(
+                    run.checkpoint_file,
+                    jax.tree_util.tree_map(np.asarray, host_sim),
+                    t,
+                    (grid.nx, grid.ny, grid.nz),
+                    stream_coeffs=streams_mod.stream_states_to_checkpoint(
+                        host_states, specs, n_sensors
+                    ),
+                )
+            summary = {}
+            if writer is not None:
+                summary = {
+                    name: (ds.shape if hasattr(ds, "shape")
+                           else {k: v.shape for k, v in ds.items()})
+                    for name, ds in writer.datasets.items()
+                }
+            summary["__checkpointed_at__"] = (t,)
+            timers.stop("simulation")
+            timers.stop("total")
+            if f is not None:
+                write_run_info(f, timers, file_path=output_path)  # cumulated times, next leg
+                f.close()
+            return summary
+        # trailing steps (< one window): every sampled step still feeds raw rows, aggregate
+        # folds, and compressed accumulators (the reference's sample+accumulate runs each
+        # step, IndexOutputStream.cpp:397-450); compressed frames are not emitted here
+        rem = grid.nt - t
+        if rem > 0:
+            # peel_pending survives to here only when no window ran (nt < oSize):
+            # the tail program is then the one covering step 0
+            tail_fn = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
+                                     ops=ops, src=src, mask=mask, fft=fft,
+                                     n_steps=rem, emit=False, peel_p0=peel_pending)
+            with mesh_ctx():
+                sim_state, stream_states, tail_emissions = tail_fn(
+                    sim_state, stream_states, jnp.int32(t)
+                )
+            tail_emissions = _host(tail_emissions)
+            if writer is not None:
+                writer.flush_emissions(tail_emissions)  # raw rows; `c` entries are None
+            t += rem
 
-    if pending is not None:
-        pending = _host(pending)
-        if writer is not None:
-            writer.flush_emissions(pending)
-        pending = None
-    if interrupted:
-        # aggregates are persisted RAW at leg boundaries; only the final leg finalizes
-        # (IndexOutputStream reopen/postProcess split)
+        # tiny-record lastStep rule (IndexOutputStream.cpp:454-456): when the whole sampled
+        # record fits inside one overlap window, force-emit the partial frame so the Nc=1
+        # compressed dataset is not left empty; the emitted frame also feeds the
+        # coefficient-space intensity accumulators (postSample, :313-337). Strictly
+        # `< oSize`: at steps == oSize the saving boundary fires on the last step and the
+        # window loop already emitted — the reference's `mSavingFlag || lastStep` emits
+        # exactly once there, so a second partial here would double-count the frame
+        # (corrupting I*_avg_c) and mis-seed compressed_step.
+        if basis is not None and 0 < sampled_steps < o:
+            from kwave_tpu import encoder as encoder_mod
+
+            partial = {}
+            for s in specs:
+                if s.op != "c":
+                    continue
+                ecfg = encoder_mod.EncoderConfig.for_stream(
+                    basis, s.shifted_basis, s.mode40, s.overlap
+                )
+                stream_states[s.name], frame = encoder_mod.emit_partial(
+                    stream_states[s.name], ecfg
+                )
+                partial[s.name] = frame
+            streams_mod.accumulate_iavg_from_frames(stream_states, partial, specs)
+            partial = _host(partial)
+            if writer is not None:
+                writer.flush_emissions(partial)
+
+        timers.stop("simulation")
+        timers.start("postprocessing")
         host_states = _host(stream_states)
-        host_sim = _host(sim_state)
         if writer is not None:
-            writer.flush_aggregates(streams_mod.raw_aggregates(host_states, specs))
-        if is_writer:
-            ckpt_io.write_checkpoint(
-                run.checkpoint_file,
-                jax.tree_util.tree_map(np.asarray, host_sim),
-                t,
-                (grid.nx, grid.ny, grid.nz),
-                stream_coeffs=streams_mod.stream_states_to_checkpoint(
-                    host_states, specs, n_sensors
-                ),
+            writer.flush_aggregates(
+                streams_mod.finalize_aggregates(host_states, specs, sampled_steps,
+                                                compressed_frames=sampled_steps // o)
             )
+        finals = {
+            s.name: getattr(sim_state, _field_attr(s.source))
+            for s in specs if s.op == "final"
+        }
+        finals = _host(finals)
+        if writer is not None:
+            writer.flush_final_fields(finals)
+
+        if run.checkpoint_file is not None:
+            # end-of-run checkpoint carries the stream coefficient accumulators too — the
+            # reference persists them on every checkpoint (BaseOutputStream.cpp:551-606)
+            host_sim = _host(sim_state)
+            if is_writer:
+                ckpt_io.write_checkpoint(
+                    run.checkpoint_file,
+                    jax.tree_util.tree_map(np.asarray, host_sim),
+                    t,
+                    (grid.nx, grid.ny, grid.nz),
+                    stream_coeffs=streams_mod.stream_states_to_checkpoint(
+                        host_states, specs, n_sensors
+                    ),
+                )
+
         summary = {}
         if writer is not None:
             summary = {
@@ -850,133 +942,45 @@ def run_simulation(
                        else {k: v.shape for k, v in ds.items()})
                 for name, ds in writer.datasets.items()
             }
-        summary["__checkpointed_at__"] = (t,)
-        timers.stop("simulation")
-        timers.stop("total")
         if f is not None:
-            write_run_info(f, timers, file_path=output_path)  # cumulated times, next leg
             f.close()
-        _close_gather()
-        return summary
-    # trailing steps (< one window): every sampled step still feeds raw rows, aggregate
-    # folds, and compressed accumulators (the reference's sample+accumulate runs each
-    # step, IndexOutputStream.cpp:397-450); compressed frames are not emitted here
-    rem = grid.nt - t
-    if rem > 0:
-        # peel_pending survives to here only when no window ran (nt < oSize):
-        # the tail program is then the one covering step 0
-        tail_fn = make_window_fn(specs, basis, cfg, o, n_sensors, strategy,
-                                 ops=ops, src=src, mask=mask, fft=fft,
-                                 n_steps=rem, emit=False, peel_p0=peel_pending)
-        with mesh_ctx():
-            sim_state, stream_states, tail_emissions = tail_fn(
-                sim_state, stream_states, jnp.int32(t)
+
+        mask_np = _host(mask)
+        if is_writer and (run.i_avg or run.q_term):
+            from kwave_tpu.postproc import post_process_output_file
+
+            post_process_output_file(
+                output_path, grid, mask_np,
+                want_i_avg=run.i_avg, want_q_term=run.q_term, from_coeffs=False,
+                block_size=run.block_size,
             )
-        tail_emissions = _host(tail_emissions)
-        if writer is not None:
-            writer.flush_emissions(tail_emissions)  # raw rows; `c` entries are None
-        t += rem
+        if is_writer and run.q_term_c:
+            # I_avg_c was accumulated on the fly (iavg_c streams); Q term derives from it
+            # (computeQTerm over the IAvgC data, KSpaceFirstOrderSolver.cpp:1016-1030)
+            from kwave_tpu.postproc import q_term_from_intensity
 
-    # tiny-record lastStep rule (IndexOutputStream.cpp:454-456): when the whole sampled
-    # record fits inside one overlap window, force-emit the partial frame so the Nc=1
-    # compressed dataset is not left empty; the emitted frame also feeds the
-    # coefficient-space intensity accumulators (postSample, :313-337). Strictly
-    # `< oSize`: at steps == oSize the saving boundary fires on the last step and the
-    # window loop already emitted — the reference's `mSavingFlag || lastStep` emits
-    # exactly once there, so a second partial here would double-count the frame
-    # (corrupting I*_avg_c) and mis-seed compressed_step.
-    if basis is not None and 0 < sampled_steps < o:
-        from kwave_tpu import encoder as encoder_mod
+            q_term_from_intensity(output_path, grid, mask_np, suffix="_c")
 
-        partial = {}
-        for s in specs:
-            if s.op != "c":
-                continue
-            ecfg = encoder_mod.EncoderConfig.for_stream(
-                basis, s.shifted_basis, s.mode40, s.overlap
-            )
-            stream_states[s.name], frame = encoder_mod.emit_partial(
-                stream_states[s.name], ecfg
-            )
-            partial[s.name] = frame
-        streams_mod.accumulate_iavg_from_frames(stream_states, partial, specs)
-        partial = _host(partial)
-        if writer is not None:
-            writer.flush_emissions(partial)
-
-    timers.stop("simulation")
-    timers.start("postprocessing")
-    host_states = _host(stream_states)
-    if writer is not None:
-        writer.flush_aggregates(
-            streams_mod.finalize_aggregates(host_states, specs, sampled_steps,
-                                            compressed_frames=sampled_steps // o)
-        )
-    finals = {
-        s.name: getattr(sim_state, _field_attr(s.source))
-        for s in specs if s.op == "final"
-    }
-    finals = _host(finals)
-    if writer is not None:
-        writer.flush_final_fields(finals)
-
-    if run.checkpoint_file is not None:
-        # end-of-run checkpoint carries the stream coefficient accumulators too — the
-        # reference persists them on every checkpoint (BaseOutputStream.cpp:551-606)
-        host_sim = _host(sim_state)
+        timers.stop("postprocessing")
+        timers.stop("total")
         if is_writer:
-            ckpt_io.write_checkpoint(
-                run.checkpoint_file,
-                jax.tree_util.tree_map(np.asarray, host_sim),
-                t,
-                (grid.nx, grid.ny, grid.nz),
-                stream_coeffs=streams_mod.stream_states_to_checkpoint(
-                    host_states, specs, n_sensors
-                ),
-            )
+            import h5py
 
-    summary = {}
-    if writer is not None:
-        summary = {
-            name: (ds.shape if hasattr(ds, "shape")
-                   else {k: v.shape for k, v in ds.items()})
-            for name, ds in writer.datasets.items()
-        }
-    if f is not None:
-        f.close()
+            with h5py.File(output_path, "r+") as fo:
+                write_run_info(fo, timers, file_path=output_path)
+                if run.benchmark_steps is not None:
+                    # record the --benchmark Nt truncation so the output is not mistaken
+                    # for a full run (the reference prints it; we persist it with the
+                    # timing attrs)
+                    from kwave_tpu.io.hdf5 import write_attr
 
-    mask_np = _host(mask)
-    if is_writer and (run.i_avg or run.q_term):
-        from kwave_tpu.postproc import post_process_output_file
-
-        post_process_output_file(
-            output_path, grid, mask_np,
-            want_i_avg=run.i_avg, want_q_term=run.q_term, from_coeffs=False,
-            block_size=run.block_size,
-        )
-    if is_writer and run.q_term_c:
-        # I_avg_c was accumulated on the fly (iavg_c streams); Q term derives from it
-        # (computeQTerm over the IAvgC data, KSpaceFirstOrderSolver.cpp:1016-1030)
-        from kwave_tpu.postproc import q_term_from_intensity
-
-        q_term_from_intensity(output_path, grid, mask_np, suffix="_c")
-
-    timers.stop("postprocessing")
-    timers.stop("total")
-    if is_writer:
-        import h5py
-
-        with h5py.File(output_path, "r+") as fo:
-            write_run_info(fo, timers, file_path=output_path)
-            if run.benchmark_steps is not None:
-                # record the --benchmark Nt truncation so the output is not mistaken
-                # for a full run (the reference prints it; we persist it with the
-                # timing attrs)
-                from kwave_tpu.io.hdf5 import write_attr
-
-                write_attr(fo, "benchmark_time_steps", int(run.benchmark_steps))
-    _close_gather()
-    return summary
+                    write_attr(fo, "benchmark_time_steps", int(run.benchmark_steps))
+        return summary
+    finally:
+        # the side channel must not leak on exceptions raised anywhere in the
+        # run (r4 VERDICT Weak #6: a raise inside the window loop previously
+        # left the socket open until interpreter GC)
+        _close_gather()
 
 
 def _corners_to_indices(corners: np.ndarray, grid) -> np.ndarray:

@@ -114,3 +114,48 @@ def write_file_header(
 
 def read_file_type(f: h5py.File) -> str:
     return read_attr(f, names.FILE_TYPE)
+
+
+#: File versions the reader accepts, matching the reference
+#: (Hdf5FileHeader::checkMajorFileVersion/checkMinorFileVersion accept major "1",
+#: minor "0" or "1" — Hdf5/Hdf5FileHeader.h:201-348).
+SUPPORTED_MAJOR = "1"
+SUPPORTED_MINORS = ("0", "1")
+
+
+def validate_file_header(f: h5py.File, expected_type: str, path: str = "") -> None:
+    """Fail fast with an actionable error when a file of the wrong kind or an
+    unsupported version is opened (the reference validates file_type and
+    major/minor version on open and terminates with a clear message,
+    Hdf5/Hdf5FileHeader.h:201-348 wired via Parameters::readScalarsFromInputFile;
+    without this, a checkpoint/output/v1.0 file passed as ``-i`` dies with a
+    KeyError deep inside the dataset reader)."""
+    where = f" {path!r}" if path else ""
+    try:
+        ftype = read_attr(f, names.FILE_TYPE)
+    except KeyError:
+        raise ValueError(
+            f"file{where} has no 'file_type' attribute — not a k-Wave HDF5 "
+            f"{expected_type} file (expected file_type={expected_type!r})"
+        ) from None
+    if ftype != expected_type:
+        hint = {
+            names.FILE_TYPE_CHECKPOINT:
+                " (a checkpoint file goes to the checkpoint/resume option, "
+                "not the input)",
+            names.FILE_TYPE_OUTPUT:
+                " (an output file is a simulation result; pass it to --post, "
+                "not as the input)",
+        }.get(ftype, "")
+        raise ValueError(
+            f"file{where} is a k-Wave {ftype!r} file, not an "
+            f"{expected_type!r} file{hint}"
+        )
+    major = str(read_attr(f, names.MAJOR_VERSION)) if names.MAJOR_VERSION in f.attrs else "?"
+    minor = str(read_attr(f, names.MINOR_VERSION)) if names.MINOR_VERSION in f.attrs else "?"
+    if major != SUPPORTED_MAJOR or minor not in SUPPORTED_MINORS:
+        supported = ", ".join(f"{SUPPORTED_MAJOR}.{m}" for m in SUPPORTED_MINORS)
+        raise ValueError(
+            f"file{where} has file version {major}.{minor}; this build supports "
+            f"versions {supported} (Hdf5FileHeader.h:201-348 parity)"
+        )

@@ -27,6 +27,7 @@ from kwave_tpu.io.hdf5 import (
     create_dataset,
     read_scalar,
     tag_dataset,
+    validate_file_header,
     write_file_header,
     write_scalar,
 )
@@ -239,6 +240,7 @@ def read_input_file(path: str) -> InputData:
     """Load an input file into solver-native conventions (the TPU-side
     `loadInputData`, KSpaceFirstOrderSolver.cpp:159-257)."""
     with h5py.File(path, "r") as f:
+        validate_file_header(f, names.FILE_TYPE_INPUT, path)
         nx, ny, nz = (read_scalar(f, n) for n in (names.NX, names.NY, names.NZ))
         is3d = nz > 1
         grid = Grid(

@@ -13,6 +13,9 @@ mode "single" (default): one uninterrupted run.
 mode "legs": interrupted two-leg run — leg 1 checkpoints mid-record, leg 2 resumes
 from the checkpoint (multi-process recovery, the distributed generalization of the
 reference's multi-leg main.cpp:147-169).
+mode "die": failure injection — the HIGHEST rank exits hard (os._exit) right before
+its second WriterGather send; the writer must fail fast with an error NAMING that
+rank (never hang until the full timeout with no diagnosis).
 """
 
 import os
@@ -86,7 +89,23 @@ def main() -> int:
 
     multihost_utils.process_allgather = _caller_guarded
 
-    mesh = make_mesh()  # all 4 global devices
+    if mode == "die" and rank == nprocs - 1:
+        # kill this rank at its second gather boundary (mid-run, after the first
+        # window's emissions already crossed the channel successfully)
+        from kwave_tpu.parallel.distributed import WriterGather
+
+        orig_gather = WriterGather.gather
+        calls = [0]
+
+        def dying_gather(self, tree):
+            calls[0] += 1
+            if calls[0] >= 2:
+                os._exit(17)
+            return orig_gather(self, tree)
+
+        WriterGather.gather = dying_gather
+
+    mesh = make_mesh()  # all global devices
     data = build_input()
     flags = dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True)
     if mode == "legs":

@@ -252,3 +252,61 @@ def test_driver_writes_field_shaped_all_and_final(tmp_path):
             assert f[name].chunks == (1, 12, 16), name
         # the final snapshot equals... p_max_all >= p_final everywhere
         assert (np.asarray(f["p_max_all"]) >= np.asarray(f["p_final"])).all()
+
+
+def _reset_attr(f, name, value):
+    # attrs.modify keeps the existing fixed-length string type (truncating longer
+    # values); recreate the attribute at the new value's length instead
+    del f.attrs[name]
+    f.attrs.create(name, np.bytes_(value.encode()))
+
+
+class TestInputHeaderValidation:
+    """Opening the wrong kind of file as input fails fast with a named reason
+    (Hdf5FileHeader.h:201-348 parity: file_type + major/minor checked on open)."""
+
+    def _grid_file(self, tmp_path, mutate):
+        path, _data = _toy_input(tmp_path, with_sources=False)
+        with h5py.File(path, "r+") as f:
+            mutate(f)
+        return path
+
+    def test_checkpoint_file_as_input_names_the_problem(self, tmp_path):
+        path = self._grid_file(
+            tmp_path,
+            lambda f: _reset_attr(f, names.FILE_TYPE, "checkpoint"),
+        )
+        with pytest.raises(ValueError, match="'checkpoint' file.*not.*'input'"):
+            read_input_file(path)
+
+    def test_output_file_as_input_suggests_post(self, tmp_path):
+        path = self._grid_file(
+            tmp_path,
+            lambda f: _reset_attr(f, names.FILE_TYPE, "output"),
+        )
+        with pytest.raises(ValueError, match="--post"):
+            read_input_file(path)
+
+    def test_unsupported_version_rejected(self, tmp_path):
+        path = self._grid_file(
+            tmp_path,
+            lambda f: _reset_attr(f, names.MAJOR_VERSION, "2"),
+        )
+        with pytest.raises(ValueError, match=r"version 2\.1.*supports.*1\.0, 1\.1"):
+            read_input_file(path)
+
+    def test_headerless_file_rejected(self, tmp_path):
+        path = str(tmp_path / "plain.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("x", data=np.zeros(3))
+        with pytest.raises(ValueError, match="no 'file_type' attribute"):
+            read_input_file(path)
+
+    def test_v10_input_still_accepted(self, tmp_path):
+        # version 1.0 inputs are valid (the reference accepts both minors)
+        path = self._grid_file(
+            tmp_path,
+            lambda f: _reset_attr(f, names.MINOR_VERSION, "0"),
+        )
+        data = read_input_file(path)
+        assert data.grid.nx == 16

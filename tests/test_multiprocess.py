@@ -206,3 +206,107 @@ def test_writer_gather_single_process_mixed_leaves():
     np.testing.assert_array_equal(out["dev"], np.arange(6).reshape(2, 3))
     assert out["tup"][0] == 7 and out["tup"][1] is None
     g.close()
+
+
+def _spawn_driver_workers(tmp_path, nprocs, mode=None, out_name="mp_out.h5",
+                          timeout=420, extra_env=None):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "mp_driver_worker.py")
+    port = _free_port()
+    out = str(tmp_path / out_name)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **(extra_env or {}))
+    env.pop("XLA_FLAGS", None)
+    argv_tail = [str(port), out] + ([mode] if mode else [])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(r), str(nprocs)] + argv_tail,
+            env=env, cwd=root, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(nprocs)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            so, se = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"{nprocs}-process driver workers timed out")
+        outs.append((p.returncode, so, se))
+    return out, outs
+
+
+def test_four_process_full_driver(tmp_path):
+    """Four processes (2 virtual devices each, global 8-device mesh) through the
+    hardened WriterGather: per-shard length-prefixed streaming from 3 peers,
+    writer assembly in index order — output equal to a single-process run on an
+    identical 8-device mesh (r4 VERDICT #3 done-criterion)."""
+    out, outs = _spawn_driver_workers(tmp_path, 4, out_name="mp4_out.h5")
+    for rc, so, se in outs:
+        assert rc == 0, (so[-500:], se[-3000:])
+    assert os.path.exists(out)
+
+    import h5py
+
+    from tests.mp_driver_worker import build_input
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.parallel import make_mesh
+
+    data = build_input()
+    ref = str(tmp_path / "ref8_out.h5")
+    run_simulation(
+        data,
+        RunConfig(flags=dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True),
+                  period=10.0, harmonics=2),
+        ref,
+        mesh=make_mesh(8),
+    )
+    with h5py.File(out, "r") as fa, h5py.File(ref, "r") as fb:
+        for name in ("p", "p_c", "p_rms", "p_max_all"):
+            a = np.asarray(fa[name])
+            b = np.asarray(fb[name])
+            assert a.shape == b.shape, name
+            scale = max(np.abs(b).max(), 1e-30)
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6 * scale,
+                                       err_msg=name)
+
+
+def test_peer_death_names_the_rank(tmp_path):
+    """Failure injection (r4 VERDICT #3): the highest rank exits hard right
+    before its second gather send. The writer must fail FAST (TCP close, not the
+    full timeout) with an error naming the dead rank — the reference's
+    'boring-reliable' single-consumer funnel (BaseOutputStream.cpp:369-388)
+    replaced by a transport that at least tells you who died."""
+    out, outs = _spawn_driver_workers(
+        tmp_path, 2, mode="die", out_name="mp_die.h5", timeout=180,
+        extra_env={"KWAVE_GATHER_TIMEOUT_S": "60"},
+    )
+    rc0, so0, se0 = outs[0]
+    rc1, _, _ = outs[1]
+    assert rc1 == 17  # the injected death
+    assert rc0 != 0, "writer must not report success after a peer died"
+    assert "rank 1" in se0, se0[-3000:]
+    assert ("closed the connection" in se0) or ("went silent" in se0), se0[-2000:]
+
+
+def test_advertise_host_env_override(monkeypatch):
+    """KWAVE_WRITER_HOST overrides auto-detection (pods where the routed
+    interface is still not what peers should dial)."""
+    from kwave_tpu.parallel.distributed import WriterGather
+
+    monkeypatch.setenv("KWAVE_WRITER_HOST", "10.1.2.3")
+    assert WriterGather._advertise_host() == "10.1.2.3"
+    monkeypatch.delenv("KWAVE_WRITER_HOST")
+    # without the override the resolver must return SOMETHING dialable
+    host = WriterGather._advertise_host()
+    assert isinstance(host, str) and host
+
+
+def test_writer_gather_context_manager():
+    from kwave_tpu.parallel.distributed import WriterGather
+
+    with WriterGather() as g:
+        out = g.gather({"a": np.arange(3)})
+        np.testing.assert_array_equal(out["a"], np.arange(3))
+    assert g._sock is None and g._srv is None
