@@ -1,7 +1,16 @@
 """Headline benchmark: on-the-fly compression codec throughput on one chip.
 
 Prints ONE JSON line: {"metric": "codec_encode_decode", "value": <GB/s>, "unit": "GB/s",
-"vs_baseline": <x over the reference-semantics CPU oracle>}.
+"vs_baseline": <x over the reference-semantics CPU oracle>, "actual_bytes_value": <GB/s
+over the 2S+2F bytes the chain really moves>, "ceiling": <GB/s of a SAME-RUN chained XLA
+elementwise copy over the same series>, "fraction": <actual_bytes_value / ceiling>}.
+
+`fraction` is the round-over-round comparable number (r4 VERDICT Weak #1): the raw GB/s
+moves ±20% with tunnel/machine state between runs, but kernel and ceiling shift together
+within a run, so their ratio tracks the CODE, not the weather. `value` keeps the
+historical 2·S byte accounting so the BENCH_r0N series stays comparable; it understates
+actual traffic by (S+F)/S ≈ 1.20 at the headline config (BASELINE.md byte-accounting
+note).
 
 Workload (BASELINE.json north star): pressure sensor series [T, N] fp32 at pressure
 amplitudes, windowed-harmonic projection encode (the production float path — the same
@@ -113,9 +122,31 @@ def main() -> None:
     float(probe(out))  # device executes in enqueue order: waits for all reps
     dt = (time.perf_counter() - t0) / (REPS_OUTER * REPS_INNER)
 
+    # Same-run HBM ceiling: a chained elementwise pass (read + write the series
+    # once per link) under the identical harness — measured back-to-back with the
+    # codec chain so machine/tunnel state cancels in the ratio.
+    @jax.jit
+    def copy_chain(x):
+        def body(c, i):
+            return c * (1.0 + 0.0 * i.astype(jnp.float32)), None
+
+        out, _ = lax.scan(body, x, jnp.arange(REPS_INNER))
+        return out
+
+    cout = copy_chain(series)
+    float(probe(cout))  # warmup + compile
+    t0 = time.perf_counter()
+    for _ in range(REPS_OUTER):
+        cout = copy_chain(series)
+    float(probe(cout))
+    dt_copy = (time.perf_counter() - t0) / (REPS_OUTER * REPS_INNER)
+
     bytes_in = series.size * 4  # encode reads the series
     bytes_out = rec.size * 4  # decode writes the reconstruction
+    f_bytes = frames.size * 4  # coefficient frames: written by encode, read by decode
     gbps = (bytes_in + bytes_out) / dt / 1e9
+    actual_gbps = (bytes_in + bytes_out + 2 * f_bytes) / dt / 1e9
+    ceiling = (bytes_in + bytes_out) / dt_copy / 1e9
     print(
         json.dumps(
             {
@@ -123,6 +154,9 @@ def main() -> None:
                 "value": round(gbps, 3),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / ORACLE_GBPS, 1),
+                "actual_bytes_value": round(actual_gbps, 3),
+                "ceiling": round(ceiling, 3),
+                "fraction": round(actual_gbps / ceiling, 4),
             }
         )
     )

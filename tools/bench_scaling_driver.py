@@ -179,6 +179,56 @@ def equality_check() -> dict:
     return res
 
 
+def mp_equality_check() -> dict:
+    """The SAME full-driver equality, but across real process boundaries so every
+    emission crosses the hardened WriterGather transport (r4 VERDICT #8): a
+    2-process/4-device run and a 4-process/8-device run, each against a
+    single-process run on an identically-partitioned mesh."""
+    import socket
+    import subprocess
+    import tempfile
+
+    import h5py
+
+    from kwave_tpu.driver import RunConfig, run_simulation
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                    + "/tests")
+    from mp_driver_worker import build_input
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "mp_driver_worker.py")
+    res = {}
+    data = build_input()
+    run = RunConfig(flags=dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True),
+                    period=10.0, harmonics=2)
+    with tempfile.TemporaryDirectory() as td:
+        for nproc in (2, 4):
+            ref_path = os.path.join(td, f"ref{nproc}.h5")
+            run_simulation(data, run, ref_path, mesh=make_mesh(2 * nproc))
+            s = socket.socket(); s.bind(("localhost", 0))
+            port = s.getsockname()[1]; s.close()
+            out = os.path.join(td, f"mp{nproc}.h5")
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            env.pop("XLA_FLAGS", None)
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, worker, str(r), str(nproc), str(port), out],
+                    env=env, cwd=root)
+                for r in range(nproc)
+            ]
+            rcs = [p.wait(timeout=420) for p in procs]
+            assert all(rc == 0 for rc in rcs), rcs
+            worst = 0.0
+            with h5py.File(out) as fa, h5py.File(ref_path) as fb:
+                for k in ("p", "p_c", "p_rms", "p_max_all"):
+                    a, b = np.asarray(fa[k]), np.asarray(fb[k])
+                    scale = max(np.abs(b).max(), 1e-30)
+                    worst = max(worst, float(np.abs(a - b).max() / scale))
+            res[nproc] = worst
+    return res
+
+
 def main():
     print(f"devices: {len(jax.devices())}", file=sys.stderr, flush=True)
     rows = []
@@ -207,6 +257,10 @@ def main():
             flush=True)
     eq = equality_check()
     print(json.dumps({"driver_equality_max_rel_diff": eq}), flush=True)
+    mp_eq = mp_equality_check()
+    print(json.dumps(
+        {"mp_writer_gather_equality_max_rel_diff":
+         {f"{n}proc_{2*n}dev": v for n, v in mp_eq.items()}}), flush=True)
 
 
 if __name__ == "__main__":
