@@ -70,10 +70,16 @@ class RunConfig:
     # None = auto: on TPU, single-device, radix-supported grids with a >=256 axis
     # (where XLA's full-DFT-matmul FFT is the measured bottleneck, tools/bench_fft.py).
     matmul_fft: Optional[bool] = None
-    # mxfft matmul precision: "highest" = 6-pass full-fp32 emulation (~1e-7 relative
-    # per transform, cuFFT-like — the default, matching the reference's fp32 path),
-    # "high" = 3-pass bf16 (~1e-6, ~2x faster MXU legs) as an explicit opt-in.
-    fft_precision: str = "highest"
+    # Spectral-engine precision. "highest" = 6-pass full-fp32 emulation (~1e-7
+    # relative per transform, cuFFT-like, the reference-fidelity mode); "high" =
+    # 3-pass bf16 (1.5-2.1x faster at >=256 axes). None = auto
+    # (_auto_fft_precision): "high" for >=256-axis grids, "highest" below —
+    # justified by the measured ACCUMULATED error (tools/bench_precision_drift.py,
+    # BASELINE.md r5): the high-vs-highest field divergence SATURATES (dissipative
+    # driven steady state), it does not compound linearly — 64^3 plateaus at
+    # 1.2e-3 rel by step 300, 128^3 at 2.2e-3, 256^3 at a few 1e-3 — so the perf
+    # mode is safe at production record lengths (10^4+ steps).
+    fft_precision: Optional[str] = None
     # mxfft base-DFT size. None = auto (_auto_direct_base): at precision "high"
     # every >=256 c2c axis runs ONE dense full-DFT matmul (no butterfly levels) —
     # each dropped level removes a full materializing HBM pass over the spectrum,
@@ -92,6 +98,19 @@ class RunConfig:
     # z-stage HBM passes gain; BASELINE.md). Default OFF; kept as an explicit
     # opt-in for future kernel iterations.
     fuse_z: Optional[bool] = None
+
+
+def _auto_fft_precision(shape: tuple) -> str:
+    """Default spectral precision by grid size (r4 VERDICT #4 resolution).
+
+    >=256 axes: "high" — the dense-base 3-pass engine is 1.5x faster at 256^3
+    (18.9 vs 28.4 ms/step) and 1.6x at 512^3 (226 vs 360), and the measured
+    accumulated divergence vs "highest" SATURATES at a few 1e-3 relative
+    (it does not grow linearly with step count; tools/bench_precision_drift.py
+    curves in BASELINE.md). <256: "highest" — small grids are fast anyway and
+    keep reference-fidelity numerics by default ("high" remains the documented
+    CLI opt-in there, worth ~2x via mxfft auto-enable at 64+)."""
+    return "high" if max(int(n) for n in shape) >= 256 else "highest"
 
 
 def _auto_mxfft_min_axis(fft_precision: str) -> int:
@@ -444,6 +463,7 @@ def run_simulation(
         )
         from kwave_tpu.ops import mxfft as mxfft_mod
 
+        fft_precision = run.fft_precision or _auto_fft_precision(grid.shape)
         compact = run.compact_operators
         if compact is None:
             compact = grid.n_elements >= 192**3
@@ -462,14 +482,14 @@ def run_simulation(
             use_mxfft = (
                 jax.default_backend() == "tpu"
                 and mxfft_mod.supported(grid.shape)
-                and max(grid.shape) >= _auto_mxfft_min_axis(run.fft_precision)
+                and max(grid.shape) >= _auto_mxfft_min_axis(fft_precision)
                 and mesh_mxfft_ok
             )
             if use_mxfft:
                 Logger.log(
                     Logger.ADVANCED,
                     "  mxfft auto-enabled (matmul FFT, precision=%s%s)",
-                    run.fft_precision,
+                    fft_precision,
                     ", pencil locals" if mesh is not None else "",
                 )
         ops = make_operators(
@@ -496,10 +516,10 @@ def run_simulation(
                 # holds one contiguous block of the permuted order — the same blocks
                 # the pencil's all_to_all trades.
                 prec = {"high": lax.Precision.HIGH,
-                        "highest": lax.Precision.HIGHEST}[run.fft_precision]
+                        "highest": lax.Precision.HIGHEST}[fft_precision]
                 direct = run.fft_direct_base
                 if direct is None:
-                    direct = _auto_direct_base(grid.shape, run.fft_precision)
+                    direct = _auto_direct_base(grid.shape, fft_precision)
                 base = direct or mxfft_mod.BASE
                 perms = {ax: mxfft_mod.perm(int(grid.shape[ax]), base)
                          for ax in (0, 1)}
@@ -516,10 +536,10 @@ def run_simulation(
                 from kwave_tpu.solver.step import FftOps
 
                 prec = {"high": lax.Precision.HIGH,
-                        "highest": lax.Precision.HIGHEST}[run.fft_precision]
+                        "highest": lax.Precision.HIGHEST}[fft_precision]
                 direct = run.fft_direct_base
                 if direct is None:
-                    direct = _auto_direct_base(grid.shape, run.fft_precision)
+                    direct = _auto_direct_base(grid.shape, fft_precision)
                 rfftn_fn, irfftn_fn, ax_perms = mxfft_mod.make_fft_ops(
                     grid.shape, precision=prec, direct_base=direct
                 )

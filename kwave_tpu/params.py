@@ -78,10 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     # TPU spectral-engine knobs (no reference counterpart — cuFFT is fixed there;
     # the mxfft base/precision policy is measured in BASELINE.md)
-    p.add_argument("--fft_precision", choices=["highest", "high"], default="highest",
-                   help="mxfft matmul precision: highest = full fp32 emulation "
-                        "(reference-fidelity default), high = 3-pass bf16 "
-                        "(~1e-6 rel; ~2x faster across the whole grid envelope)")
+    p.add_argument("--fft_precision", choices=["auto", "highest", "high"],
+                   default="auto",
+                   help="spectral precision: highest = full fp32 emulation "
+                        "(reference fidelity), high = 3-pass bf16 (1.5-2.1x "
+                        "faster at >=256 axes; accumulated field divergence vs "
+                        "highest SATURATES at ~1e-3..4e-3 rel — it does not grow "
+                        "with record length; BASELINE.md drift curves). "
+                        "auto (default): high for >=256-axis grids, highest below")
     p.add_argument("--mxfft", dest="matmul_fft", action="store_const", const=True,
                    default=None,
                    help="force the MXU matmul FFT on (default: auto by grid size "
@@ -129,6 +133,6 @@ def args_to_run_config(args, dt: Optional[float] = None) -> RunConfig:
         progress_interval=args.progress_interval,
         benchmark_steps=args.benchmark,
         matmul_fft=args.matmul_fft,
-        fft_precision=args.fft_precision,
+        fft_precision=None if args.fft_precision == "auto" else args.fft_precision,
         fft_direct_base=args.fft_direct_base,
     )

@@ -94,5 +94,14 @@ def test_cli_fft_knobs_reach_run_config():
     assert run.fft_direct_base == 256
     a2 = p.parse_args(["-i", "x.h5", "-o", "y.h5", "--p_raw", "--no-mxfft"])
     run2 = args_to_run_config(a2)
-    assert run2.matmul_fft is False and run2.fft_precision == "highest"
+    # default is AUTO (None): "high" resolves at >=256 axes, "highest" below
+    # (driver._auto_fft_precision; measured saturation curves in BASELINE.md)
+    assert run2.matmul_fft is False and run2.fft_precision is None
     assert run2.fft_direct_base is None
+    from kwave_tpu.driver import _auto_fft_precision
+
+    assert _auto_fft_precision((256, 256, 256)) == "high"
+    assert _auto_fft_precision((128, 128, 128)) == "highest"
+    a3 = p.parse_args(["-i", "x.h5", "-o", "y.h5", "--p_raw",
+                       "--fft_precision", "highest"])
+    assert args_to_run_config(a3).fft_precision == "highest"
