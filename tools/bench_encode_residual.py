@@ -78,13 +78,50 @@ def _emit(obj):
 
 
 def _variant_kernel(chunk_ref, tabblk_ref, frame_ref, p1_scratch, *, h2, kb,
-                    t_rows, variant):
+                    t_rows, variant, precision="split3"):
     """The encode kernel with one suspect removed per variant (see module doc)."""
     k = pl.program_id(1)
     chunk = chunk_ref[:]
     if variant != "nomask":
         chunk = fastpath._mask_oob_rows(chunk, k, chunk_ref.shape[0], t_rows)
-    p_all = fastpath._dot_split3(tabblk_ref[:], chunk, (((0,), (0,)), ((), ())))
+    if variant == "vpu40":
+        # No MXU at all: fp32 broadcast-FMA over 8-ALIGNED window-PAIR slices
+        # (lcm(o=20, sublane 8) = 40 rows, so every slice offset is vreg-aligned
+        # — the per-window 20-row slices of the 3D kernels are not). The pair
+        # table is the [40, 2*2*h2] two-window block-diagonal.
+        prev = p1_scratch[:]
+        outs = []
+        for jp in range(kb // 2):
+            sl = chunk[jp * 40:(jp + 1) * 40]
+            proj = [
+                jnp.sum(sl * tabblk_ref[:, m:m + 1], axis=0, keepdims=True)
+                for m in range(4 * h2)
+            ]
+            for w in range(2):  # the two windows of the pair
+                p1 = jnp.concatenate(proj[w * 2 * h2: w * 2 * h2 + h2], axis=0)
+                p2 = jnp.concatenate(proj[w * 2 * h2 + h2:(w + 1) * 2 * h2],
+                                     axis=0)
+                first = (k == 0) & (jp == 0) & (w == 0)
+                outs.append(jnp.where(first, p1, prev) + p2)
+                prev = p1
+        frame_ref[:] = jnp.concatenate(outs, axis=0)
+        p1_scratch[:] = prev
+        return
+    if variant == "matmul_discard":
+        # the contraction runs but its result is (almost) unused: isolates the
+        # cost of the matmul's PRESENCE (operand layout) from its result path
+        p_all = fastpath._dot_flat(tabblk_ref[:], chunk,
+                                   (((0,), (0,)), ((), ())), precision)
+        frame_ref[:] = chunk[: kb * h2] + 0.0 * p_all[: kb * h2]
+        return
+    if variant == "tabT":
+        # pre-transposed small operand: contraction is the MXU-natural
+        # LHS[M,K] x RHS[K,N] form (no transposed-LHS dimension numbers)
+        p_all = fastpath._dot_flat(tabblk_ref[:], chunk,
+                                   (((1,), (0,)), ((), ())), precision)
+    else:
+        p_all = fastpath._dot_flat(tabblk_ref[:], chunk,
+                                   (((0,), (0,)), ((), ())), precision)
     if variant == "matmul":
         frame_ref[:] = p_all[: kb * h2]
         return
@@ -104,18 +141,19 @@ def _variant_kernel(chunk_ref, tabblk_ref, frame_ref, p1_scratch, *, h2, kb,
         p1_scratch[:] = prev
 
 
-def encode_variant(series, tab_blk, o, h2, kb, tile, variant):
+def encode_variant(series, tab_blk, o, h2, kb, tile, variant, precision="split3"):
     t_total, n = series.shape
     k_frames = t_total // o
     grid = (pl.cdiv(n, tile), pl.cdiv(k_frames, kb))
     return pl.pallas_call(
         functools.partial(_variant_kernel, h2=h2, kb=kb,
-                          t_rows=k_frames * o, variant=variant),
+                          t_rows=k_frames * o, variant=variant,
+                          precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((kb * o, tile), lambda i, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kb * o, kb * 2 * h2), lambda i, k: (0, 0),
+            pl.BlockSpec(tab_blk.shape, lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((kb * h2, tile), lambda i, k: (k, i),
@@ -127,8 +165,61 @@ def encode_variant(series, tab_blk, o, h2, kb, tile, variant):
     )(series[: k_frames * o], tab_blk)
 
 
+def rows_sweep(series, probe, reps_outer, tile):
+    """Generic 4:1 mix probe vs READ-block row count (write rows fixed at
+    read/4): locates the row-count cliff that separates the 128-row probe
+    (~305 GB/s) from the 160-row encode structure (~173)."""
+    # rows//4 must be 8-divisible (write-block constraint), so steps of 32
+    for rows in (64, 96, 128, 160, 192, 224, 256, 320):
+        t_mix = (T_STEPS // rows) * rows
+        seed0 = jnp.zeros((8, N_SENSORS), jnp.float32)
+        out_rows = rows // 4
+
+        def _k(c_ref, s_ref, o_ref, _out=out_rows):
+            o_ref[...] = c_ref[:_out] + s_ref[0:1]
+
+        def _m(x2, seed, _rows=rows, _out=out_rows, _tm=t_mix):
+            return pl.pallas_call(
+                _k,
+                grid=(pl.cdiv(N_SENSORS, tile), _tm // _rows),
+                in_specs=[
+                    pl.BlockSpec((_rows, tile), lambda i, k: (k, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, tile), lambda i, k: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((_out, tile), lambda i, k: (k, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((_tm // 4, N_SENSORS),
+                                               jnp.float32),
+                compiler_params=fastpath._compiler_params(),
+                interpret=fastpath._interpret_default(),
+            )(x2, seed)
+
+        @jax.jit
+        def chain(x, _tm=t_mix, _m=_m):
+            x2 = x[:_tm]
+
+            def body(seed, _):
+                y = _m(x2, seed)
+                return seed * (1.0 + 0.0 * y[0, 0]), y
+            _, ys = lax.scan(body, seed0, None, length=REPS_INNER)
+            return ys[-1]
+
+        dt = _timeit(chain, probe, series, reps_outer)
+        _emit({"op": "rows_sweep_4to1", "rows": rows,
+               "gbps": round(t_mix * N_SENSORS * 4 * 1.25 / dt / 1e9, 1)})
+
+
 def main():
     reps_outer = int(sys.argv[1]) if len(sys.argv) > 1 else REPS_OUTER
+    if len(sys.argv) > 2 and sys.argv[2] == "rows":
+        probe = jax.jit(lambda a: jnp.sum(a[..., :1]))
+        series = _series(T_STEPS, N_SENSORS)
+        tile = fastpath._pick_tile(N_SENSORS, generate_basis(
+            PERIOD, 1, HARMONICS, normalize=True).o_size)
+        rows_sweep(series, probe, reps_outer, tile)
+        return
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
           file=sys.stderr, flush=True)
     cb = generate_basis(PERIOD, 1, HARMONICS, normalize=True)
@@ -161,69 +252,150 @@ def main():
     tile0 = fastpath._pick_tile(N_SENSORS, o)
     kb0 = fastpath._aligned_kb(o, h2, tile0, k_frames)
 
-    # --- structural probe at the encode kernel's exact shapes ---
-    def _mix_kernel(c_ref, o_ref, *, h2, kb):
-        o_ref[:] = c_ref[: kb * h2] * 2.0
+    # --- structural probe at the encode kernel's exact shapes. The serial
+    # dependency is injected through a TINY seed block (like the generic mix
+    # probe): carrying the series itself would add a hidden 2S elementwise pass
+    # per link and poison the number. ---
+    def _mix_kernel(c_ref, s_ref, o_ref, *, h2, kb):
+        o_ref[:] = c_ref[: kb * h2] + s_ref[0 : kb * h2]
 
-    def mix_exact(x2, kb, tile):
+    seed_mix = jnp.zeros((max(16 * h2, 8), N_SENSORS), jnp.float32)
+
+    def mix_exact(x2, seed, kb, tile):
         grid = (pl.cdiv(N_SENSORS, tile), pl.cdiv(k_frames, kb))
         return pl.pallas_call(
             functools.partial(_mix_kernel, h2=h2, kb=kb),
             grid=grid,
-            in_specs=[pl.BlockSpec((kb * o, tile), lambda i, k: (k, i),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=[
+                pl.BlockSpec((kb * o, tile), lambda i, k: (k, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seed_mix.shape[0], tile), lambda i, k: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
             out_specs=pl.BlockSpec((kb * h2, tile), lambda i, k: (k, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((k_frames * h2, N_SENSORS),
                                            jnp.float32),
             compiler_params=fastpath._compiler_params(),
             interpret=fastpath._interpret_default(),
-        )(x2)
+        )(x2, seed)
 
     for kb, tile in ((kb0, tile0), (16, tile0), (kb0, tile0 // 2)):
         @jax.jit
         def mix_chain(x, _kb=kb, _tile=tile):
             x2 = x[: k_frames * o]
 
-            def body(c, _):
-                y = mix_exact(c, _kb, _tile)
-                return c * (1.0 + 0.0 * y[0, 0]), y
-            _, ys = lax.scan(body, x2, None, length=REPS_INNER)
+            def body(seed, _):
+                y = mix_exact(x2, seed, _kb, _tile)
+                return seed * (1.0 + 0.0 * y[0, 0]), y
+            _, ys = lax.scan(body, seed_mix, None, length=REPS_INNER)
             return ys[-1]
 
         dt = _timeit(mix_chain, probe, series, reps_outer)
         _emit({"op": "mix_exact", "kb": kb, "tile": tile,
                "gbps": round((s_bytes + f_bytes) / dt / 1e9, 1)})
 
-    # --- encode variants (same kb/tile as production) ---
-    tab_blk0 = fastpath._block_diag(tab4, kb0)
-    for variant in ("full", "nomask", "nocarry", "matmul"):
+    # --- generic 4:1 mix probe (r4's 128-row blocks) for same-run comparison ---
+    rows_mix = 128
+    t_mix = (T_STEPS // rows_mix) * rows_mix
+    seed0 = jnp.zeros((8, N_SENSORS), jnp.float32)
+
+    def _gmix_kernel(c_ref, s_ref, o_ref):
+        o_ref[...] = c_ref[: rows_mix // 4] + s_ref[0:1]
+
+    def _gmix(x2, seed):
+        return pl.pallas_call(
+            _gmix_kernel,
+            grid=(pl.cdiv(N_SENSORS, tile0), t_mix // rows_mix),
+            in_specs=[
+                pl.BlockSpec((rows_mix, tile0), lambda i, k: (k, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, tile0), lambda i, k: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rows_mix // 4, tile0), lambda i, k: (k, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_mix // 4, N_SENSORS), jnp.float32),
+            compiler_params=fastpath._compiler_params(),
+            interpret=fastpath._interpret_default(),
+        )(x2, seed)
+
+    @jax.jit
+    def gmix_chain(x):
+        x2 = x[:t_mix]
+
+        def body(seed, _):
+            y = _gmix(x2, seed)
+            return seed * (1.0 + 0.0 * y[0, 0]), y
+        _, ys = lax.scan(body, seed0, None, length=REPS_INNER)
+        return ys[-1]
+
+    dt = _timeit(gmix_chain, probe, series, reps_outer)
+    _emit({"op": "mix_generic_4to1", "rows": rows_mix,
+           "gbps": round(t_mix * N_SENSORS * 4 * 1.25 / dt / 1e9, 1)})
+
+    # --- encode variants (same kb/tile as production). The serial dependency is
+    # injected through the TABLE (tab_lo is the scan carry, the block-diag
+    # operator is rebuilt from it inside each link — tiny vs the series): a
+    # closure-constant table would let XLA hoist the whole kernel out of the
+    # scan and fake >ceiling numbers. ---
+    def chained(variant, kb, tile, precision="split3"):
         @jax.jit
-        def enc_chain(x, _v=variant):
+        def enc_chain(x):
             def body(tl, _):
-                f = encode_variant(x, tab_blk0, o, h2, kb0, tile0, _v)
+                t4 = jnp.concatenate([tl, tab_hi], axis=1)
+                if variant == "vpu40":
+                    tb = fastpath._block_diag(t4, 2)  # [40, 4*h2] pair table
+                elif variant == "tabT":
+                    tb = fastpath._block_diag(t4, kb).T
+                else:
+                    tb = fastpath._block_diag(t4, kb)
+                f = encode_variant(x, tb, o, h2, kb, tile, variant, precision)
                 return tl + 0.0 * f[0, 0], f
             _, fs = lax.scan(body, tab_lo, None, length=REPS_INNER)
             return fs[-1]
 
-        dt = _timeit(enc_chain, probe, series, reps_outer)
+        return _timeit(enc_chain, probe, series, reps_outer)
+
+    for variant in ("full", "nomask", "nocarry", "matmul", "matmul_discard",
+                    "tabT", "vpu40"):
+        dt = chained(variant, kb0, tile0)
         _emit({"op": f"enc_{variant}", "kb": kb0, "tile": tile0,
                "gbps": round((s_bytes + f_bytes) / dt / 1e9, 1)})
+
+    # MXU pass count: if the contraction bounds the kernel, 1-pass default and
+    # 6-pass highest separate strongly; if DMA-bound they coincide
+    for precision in ("default", "highest"):
+        dt = chained("full", kb0, tile0, precision)
+        _emit({"op": f"enc_full_{precision}", "kb": kb0, "tile": tile0,
+               "gbps": round((s_bytes + f_bytes) / dt / 1e9, 1)})
+
+    # Mechanism check: a BF16 series input (pre-converted outside the timed
+    # chain). If the staging cost is the fp32->bf16 (8,128)->(16,128) relayout,
+    # a bf16 operand arrives MXU-ready and the kernel should return to its
+    # structural ceiling (on S/2 read bytes); if it stays slow, the staging is
+    # intrinsic to MXU operand handling, not the dtype conversion.
+    series_bf16 = series.astype(jnp.bfloat16)
+
+    @jax.jit
+    def bf16_chain(xb):
+        def body(tl, _):
+            tb = fastpath._block_diag(
+                jnp.concatenate([tl, tab_hi], axis=1), kb0).astype(jnp.bfloat16)
+            f = encode_variant(xb, tb, o, h2, kb0, tile0, "matmul", "default")
+            return tl + 0.0 * f[0, 0].astype(jnp.float32), f
+        _, fs = lax.scan(body, tab_lo, None, length=REPS_INNER)
+        return fs[-1]
+
+    dt = _timeit(bf16_chain, probe, series_bf16, reps_outer)
+    _emit({"op": "enc_matmul_bf16in", "kb": kb0, "tile": tile0,
+           "gbps_actual": round((s_bytes // 2 + f_bytes) / dt / 1e9, 1),
+           "gbps_fp32equiv": round((s_bytes + f_bytes) / dt / 1e9, 1)})
 
     # --- kb / tile sweep on the full variant ---
     for kb, tile in ((4, tile0), (16, tile0), (12, tile0), (kb0, tile0 // 2),
                      (16, tile0 // 2)):
-        tab_blk = fastpath._block_diag(tab4, kb)
-
-        @jax.jit
-        def enc_chain2(x, _kb=kb, _tile=tile, _tb=tab_blk):
-            def body(tl, _):
-                f = encode_variant(x, _tb, o, h2, _kb, _tile, "full")
-                return tl + 0.0 * f[0, 0], f
-            _, fs = lax.scan(body, tab_lo, None, length=REPS_INNER)
-            return fs[-1]
-
-        dt = _timeit(enc_chain2, probe, series, reps_outer)
+        dt = chained("full", kb, tile)
         _emit({"op": "enc_full_sweep", "kb": kb, "tile": tile,
                "gbps": round((s_bytes + f_bytes) / dt / 1e9, 1)})
 
