@@ -27,6 +27,22 @@ def main(argv=None) -> int:
 
     Logger.level = args.verbose  # Basic/Advanced/Full (Logger.h:57-63)
 
+    # Multi-host bring-up (POD_RUNBOOK.md): one process per host. With explicit
+    # coordinator/rank flags use them; with --distributed alone let JAX
+    # auto-detect from the TPU pod metadata (Cloud TPU env). Must run before any
+    # backend touch so the global device view spans the slice.
+    if args.num_processes is not None or args.distributed:
+        from kwave_tpu.parallel.distributed import initialize
+
+        if args.num_processes is not None:
+            initialize(coordinator=args.coordinator,
+                       num_processes=args.num_processes,
+                       process_id=args.process_id)
+        else:
+            import jax
+
+            jax.distributed.initialize()
+
     t0 = time.time()
     data = read_input_file(args.input_file)
 
@@ -75,6 +91,15 @@ def main(argv=None) -> int:
         from kwave_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.devices)
+    else:
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-process launch: the mesh spans every global device unless
+            # --devices narrowed it explicitly
+            from kwave_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
 
     t1 = time.time()
     summary = run_simulation(

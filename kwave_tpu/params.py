@@ -31,7 +31,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(compat; ignored — JAX device binding)")
     p.add_argument("--devices", type=int, default=None, metavar="N",
                    help="run multi-chip over the first N jax devices "
-                        "(z-sharded fields + pencil FFT); default single device")
+                        "(z-sharded fields + pencil FFT); default single device, "
+                        "or ALL global devices under a multi-process launch")
+    # multi-host launch (POD_RUNBOOK.md; no reference analogue — it is single-GPU)
+    p.add_argument("--distributed", action="store_true",
+                   help="jax.distributed.initialize() with TPU-pod auto-detection "
+                        "(one process per host; Cloud TPU metadata supplies "
+                        "coordinator/rank)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="distributed coordinator address (with --num_processes)")
+    p.add_argument("--num_processes", type=int, default=None, metavar="N",
+                   help="total process count for explicit multi-host launch")
+    p.add_argument("--process_id", type=int, default=None, metavar="R",
+                   help="this process's rank for explicit multi-host launch")
     p.add_argument("-c", "--compression_level", type=int, default=0,
                    help="output HDF5 gzip level 0-9")
     p.add_argument("-s", "--sampling_start", type=int, default=1,

@@ -310,3 +310,66 @@ def test_writer_gather_context_manager():
         out = g.gather({"a": np.arange(3)})
         np.testing.assert_array_equal(out["a"], np.arange(3))
     assert g._sock is None and g._srv is None
+
+
+def test_cli_multiprocess_launch(tmp_path):
+    """The POD_RUNBOOK.md launch recipe end-to-end: two CLI processes with
+    --coordinator/--num_processes/--process_id form a global 4-device mesh,
+    process 0 writes the output, and it matches a single-process run on an
+    identically-partitioned mesh."""
+    import h5py
+
+    from tests.mp_driver_worker import build_input
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io.input_file import write_input_file
+    from kwave_tpu.parallel import make_mesh
+
+    data = build_input()
+    inp = str(tmp_path / "cli_in.h5")
+    write_input_file(inp, data)
+    out = str(tmp_path / "cli_mp_out.h5")
+    port = _free_port()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    # this container's sitecustomize pins the axon platform over JAX_PLATFORMS,
+    # so pin cpu via jax.config before the CLI touches the backend (the same
+    # dance as tests/mp_driver_worker.py; a real pod launch needs no shim)
+    shim = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+            "from kwave_tpu.cli import main; sys.exit(main(sys.argv[1:]))")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", shim, "-i", inp, "-o", out,
+             "--p_raw", "--p_c", "--period", "10", "--harmonics", "2",
+             "--coordinator", f"localhost:{port}", "--num_processes", "2",
+             "--process_id", str(r)],
+            env=env, cwd=root, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            so, se = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("CLI multi-process launch timed out")
+        outs.append((p.returncode, so, se))
+    for rc, so, se in outs:
+        assert rc == 0, (so[-500:], se[-3000:])
+
+    # the reference input was read from file, so rebase expectations identically
+    from kwave_tpu.io.input_file import read_input_file
+
+    ref = str(tmp_path / "cli_ref.h5")
+    run_simulation(
+        read_input_file(inp),
+        RunConfig(flags=dict(p_raw=True, p_c=True), period=10.0, harmonics=2),
+        ref, mesh=make_mesh(4),
+    )
+    with h5py.File(out, "r") as fa, h5py.File(ref, "r") as fb:
+        for name in ("p", "p_c"):
+            np.testing.assert_array_equal(np.asarray(fa[name]),
+                                          np.asarray(fb[name]), err_msg=name)
