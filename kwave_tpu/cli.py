@@ -35,6 +35,14 @@ def main(argv=None) -> int:
         from kwave_tpu.parallel.distributed import initialize
 
         if args.num_processes is not None:
+            if args.num_processes > 1 and (
+                args.coordinator is None or args.process_id is None
+            ):
+                parser.error(
+                    "--num_processes requires --coordinator HOST:PORT and "
+                    "--process_id R (or use bare --distributed on a Cloud TPU "
+                    "pod for metadata auto-detection)"
+                )
             initialize(coordinator=args.coordinator,
                        num_processes=args.num_processes,
                        process_id=args.process_id)
@@ -87,19 +95,26 @@ def main(argv=None) -> int:
         run.flags["p_raw"] = True
 
     mesh = None
-    if args.devices is not None and args.devices > 1:
+    import jax
+
+    if jax.process_count() > 1:
+        # Multi-process launch: the mesh must span every global device — a
+        # narrower mesh would exclude some ranks' chips and strand those
+        # processes (their device_puts have no addressable target while the
+        # writer waits out the gather timeout).
+        from kwave_tpu.parallel import make_mesh
+
+        if args.devices is not None and args.devices != len(jax.devices()):
+            parser.error(
+                f"--devices {args.devices} under a multi-process launch must "
+                f"equal the global device count ({len(jax.devices())}); each "
+                "process owns its local chips — narrow the slice itself instead"
+            )
+        mesh = make_mesh()
+    elif args.devices is not None and args.devices > 1:
         from kwave_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.devices)
-    else:
-        import jax
-
-        if jax.process_count() > 1:
-            # multi-process launch: the mesh spans every global device unless
-            # --devices narrowed it explicitly
-            from kwave_tpu.parallel import make_mesh
-
-            mesh = make_mesh()
 
     t1 = time.time()
     summary = run_simulation(
@@ -110,9 +125,9 @@ def main(argv=None) -> int:
     )
     sim_s = time.time() - t1
 
-    if args.copy_sensor_mask:
+    if args.copy_sensor_mask and jax.process_index() == 0:
         # --copy_sensor_mask: carry the mask into the output file (1-based on disk, as
-        # in the input format)
+        # in the input format); writer-gated — only process 0 holds the file
         import h5py
         import numpy as np
 

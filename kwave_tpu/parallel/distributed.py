@@ -201,23 +201,24 @@ class WriterGather:
         import os
         import socket
 
+        from jax._src import distributed as _jdist
+
         override = os.environ.get("KWAVE_WRITER_HOST")
         if override:
             return override
-        coord = getattr(
-            __import__("jax._src.distributed", fromlist=["global_state"])
-            .global_state, "coordinator_address", None,
-        )
+        coord = getattr(_jdist.global_state, "coordinator_address", None)
         if coord:
             chost, _, cport = coord.rpartition(":")
             try:
                 probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
                 try:
+                    # a host-only coordinator string makes int(cport) raise
+                    # ValueError — fall through to hostname resolution
                     probe.connect((chost or "127.0.0.1", int(cport or 1)))
                     return probe.getsockname()[0]
                 finally:
                     probe.close()
-            except OSError:
+            except (OSError, ValueError):
                 pass
         try:
             return socket.gethostbyname(socket.gethostname())

@@ -105,3 +105,16 @@ def test_cli_fft_knobs_reach_run_config():
     a3 = p.parse_args(["-i", "x.h5", "-o", "y.h5", "--p_raw",
                        "--fft_precision", "highest"])
     assert args_to_run_config(a3).fft_precision == "highest"
+
+
+def test_cli_num_processes_requires_coordinator(capsys):
+    """--num_processes without --coordinator/--process_id fails at the parser
+    with a message naming the fix (not deep inside jax.distributed)."""
+    import pytest
+
+    from kwave_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["-i", "x.h5", "-o", "y.h5", "--p_raw", "--num_processes", "2"])
+    err = capsys.readouterr().err
+    assert "--coordinator" in err and "--process_id" in err
