@@ -107,6 +107,25 @@ def _variant_kernel(chunk_ref, tabblk_ref, frame_ref, p1_scratch, *, h2, kb,
         frame_ref[:] = jnp.concatenate(outs, axis=0)
         p1_scratch[:] = prev
         return
+    if variant == "fullread":
+        # full-block VMEM->VREG materialization, NO matmul: a cross-sublane
+        # reduction forces every row through the vector registers. If this is
+        # as slow as the matmul variants, the wall is the in-kernel read of the
+        # full block (which ANY projection must do), not MXU operand staging —
+        # and mix_exact (which reads only kb*h2 of kb*o rows) was measuring a
+        # DMA-only ceiling no full-contraction kernel can reach.
+        s = jnp.sum(chunk, axis=0, keepdims=True)
+        frame_ref[:] = chunk[: kb * h2] + 0.0 * s
+        return
+    if variant == "matmul_half":
+        # contract only HALF the rows (timing-only, wrong semantics): if the
+        # cost is per-staged-operand-byte, time lands halfway to the structural
+        # ceiling; if it is fixed per matmul, time is unchanged
+        p_half = fastpath._dot_flat(tabblk_ref[: chunk.shape[0] // 2],
+                                    chunk[: chunk.shape[0] // 2],
+                                    (((0,), (0,)), ((), ())), precision)
+        frame_ref[:] = p_half[: kb * h2]
+        return
     if variant == "matmul_discard":
         # the contraction runs but its result is (almost) unused: isolates the
         # cost of the matmul's PRESENCE (operand layout) from its result path
@@ -141,10 +160,15 @@ def _variant_kernel(chunk_ref, tabblk_ref, frame_ref, p1_scratch, *, h2, kb,
         p1_scratch[:] = prev
 
 
-def encode_variant(series, tab_blk, o, h2, kb, tile, variant, precision="split3"):
+def encode_variant(series, tab_blk, o, h2, kb, tile, variant, precision="split3",
+                   dimsem=None):
     t_total, n = series.shape
     k_frames = t_total // o
     grid = (pl.cdiv(n, tile), pl.cdiv(k_frames, kb))
+    params = (pltpu.CompilerParams(
+        vmem_limit_bytes=fastpath._vmem_limit_bytes(),
+        dimension_semantics=dimsem,
+    ) if dimsem else fastpath._compiler_params())
     return pl.pallas_call(
         functools.partial(_variant_kernel, h2=h2, kb=kb,
                           t_rows=k_frames * o, variant=variant,
@@ -160,7 +184,7 @@ def encode_variant(series, tab_blk, o, h2, kb, tile, variant, precision="split3"
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_frames * h2, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((h2, tile), jnp.float32)],
-        compiler_params=fastpath._compiler_params(),
+        compiler_params=params,
         interpret=fastpath._interpret_default(),
     )(series[: k_frames * o], tab_blk)
 
@@ -339,7 +363,7 @@ def main():
     # operator is rebuilt from it inside each link — tiny vs the series): a
     # closure-constant table would let XLA hoist the whole kernel out of the
     # scan and fake >ceiling numbers. ---
-    def chained(variant, kb, tile, precision="split3"):
+    def chained(variant, kb, tile, precision="split3", dimsem=None):
         @jax.jit
         def enc_chain(x):
             def body(tl, _):
@@ -350,7 +374,8 @@ def main():
                     tb = fastpath._block_diag(t4, kb).T
                 else:
                     tb = fastpath._block_diag(t4, kb)
-                f = encode_variant(x, tb, o, h2, kb, tile, variant, precision)
+                f = encode_variant(x, tb, o, h2, kb, tile, variant, precision,
+                                   dimsem)
                 return tl + 0.0 * f[0, 0], f
             _, fs = lax.scan(body, tab_lo, None, length=REPS_INNER)
             return fs[-1]
@@ -358,10 +383,17 @@ def main():
         return _timeit(enc_chain, probe, series, reps_outer)
 
     for variant in ("full", "nomask", "nocarry", "matmul", "matmul_discard",
-                    "tabT", "vpu40"):
+                    "matmul_half", "fullread", "tabT", "vpu40"):
         dt = chained(variant, kb0, tile0)
         _emit({"op": f"enc_{variant}", "kb": kb0, "tile": tile0,
                "gbps": round((s_bytes + f_bytes) / dt / 1e9, 1)})
+
+    # pipelining semantics: "parallel" on the sensor dim lets Mosaic reorder /
+    # overlap more aggressively; tests whether the staging serializes against
+    # the next block's DMA because of conservative default grid semantics
+    dt = chained("nocarry", kb0, tile0, dimsem=("parallel", "arbitrary"))
+    _emit({"op": "enc_nocarry_dimsem", "kb": kb0, "tile": tile0,
+           "gbps": round((s_bytes + f_bytes) / dt / 1e9, 1)})
 
     # MXU pass count: if the contraction bounds the kernel, 1-pass default and
     # 6-pass highest separate strongly; if DMA-bound they coincide
