@@ -107,6 +107,18 @@ def _variant_kernel(chunk_ref, tabblk_ref, frame_ref, p1_scratch, *, h2, kb,
         frame_ref[:] = jnp.concatenate(outs, axis=0)
         p1_scratch[:] = prev
         return
+    if variant == "fullread_strips":
+        # same full-block read, but in 8-row strips sliced straight off the ref
+        # (no single [kb*o, tile] SSA value): discriminates "reading through
+        # compute is slow" from "materializing the whole block as one value
+        # forces vreg spills". XLA's elementwise copy reads every byte through
+        # the VPU at ~430, so the toll cannot be intrinsic to compute reads.
+        acc = jnp.zeros((1, frame_ref.shape[1]), jnp.float32)
+        for r in range(chunk_ref.shape[0] // 8):
+            acc = acc + jnp.sum(chunk_ref[r * 8:(r + 1) * 8], axis=0,
+                                keepdims=True)
+        frame_ref[:] = chunk_ref[: kb * h2] + 0.0 * acc
+        return
     if variant == "fullread":
         # full-block VMEM->VREG materialization, NO matmul: a cross-sublane
         # reduction forces every row through the vector registers. If this is
@@ -383,7 +395,8 @@ def main():
         return _timeit(enc_chain, probe, series, reps_outer)
 
     for variant in ("full", "nomask", "nocarry", "matmul", "matmul_discard",
-                    "matmul_half", "fullread", "tabT", "vpu40"):
+                    "matmul_half", "fullread", "fullread_strips", "tabT",
+                    "vpu40"):
         dt = chained(variant, kb0, tile0)
         _emit({"op": f"enc_{variant}", "kb": kb0, "tile": tile0,
                "gbps": round((s_bytes + f_bytes) / dt / 1e9, 1)})
