@@ -401,6 +401,31 @@ def main():
         _emit({"op": f"enc_{variant}", "kb": kb0, "tile": tile0,
                "gbps": round((s_bytes + f_bytes) / dt / 1e9, 1)})
 
+    # XLA-only formulation: the full-read toll is Mosaic-specific (XLA
+    # elementwise sustains ~430), so express the projection as 4H weighted
+    # REDUCTIONS of the same reshaped series — no dot anywhere — and let XLA's
+    # multi-output fusion read the series once for all of them. If XLA fuses,
+    # this approaches the DMA mix ceiling and beats every Pallas variant.
+    k_frames_l = T_STEPS // o
+
+    @jax.jit
+    def xla_multireduce_chain(x):
+        def body(tl, _):
+            t4 = jnp.concatenate([tl, tab_hi], axis=1)  # [o, 4H]
+            x3 = x[: k_frames_l * o].reshape(k_frames_l, o, N_SENSORS)
+            outs = [
+                jnp.sum(x3 * t4[None, :, m, None], axis=1)  # [K, N]
+                for m in range(4 * HARMONICS)
+            ]
+            f = jnp.stack(outs, axis=1)  # [K, 4H, N]
+            return tl + 0.0 * f[0, 0, 0], f
+        _, fs = lax.scan(body, tab_lo, None, length=REPS_INNER)
+        return fs[-1]
+
+    dt = _timeit(xla_multireduce_chain, probe, series, reps_outer)
+    _emit({"op": "enc_xla_multireduce",
+           "gbps": round((s_bytes + 2 * f_bytes) / dt / 1e9, 1)})
+
     # pipelining semantics: "parallel" on the sensor dim lets Mosaic reorder /
     # overlap more aggressively; tests whether the staging serializes against
     # the next block's DMA because of conservative default grid semantics
