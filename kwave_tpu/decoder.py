@@ -36,6 +36,32 @@ def decode_frames_40b(hdr: jax.Array, mr: jax.Array, mi: jax.Array, e: int):
     return bitpack.decode40(hdr, mr, mi, e)
 
 
+def decode_40bit_rows(rows, harmonics: int, max_exp: int):
+    """Packed index-layout dataset rows -> decoded coefficient planes.
+
+    ``rows`` is the float32-viewed ``[n_frames, mSize]`` content of a 40-bit
+    ``*_c`` dataset (``mSize = ceil(N*1.25)*H`` floats per frame,
+    IndexOutputStream.cpp:91-93); returns fp32 ``(re, im)`` of shape
+    ``[n_frames, N, H]``. The integer unpack is exact on any backend — the
+    reference cannot post-process 40-bit data at all
+    (KSpaceFirstOrderSolver.cpp:1541)."""
+    import numpy as np
+
+    from kwave_tpu.oracle import bytes_to_soa
+
+    rows = np.ascontiguousarray(rows)
+    n_pts = int(rows.shape[1] / (1.25 * harmonics))
+    raw = rows.view(np.uint8)[:, : 5 * n_pts * harmonics]
+    hdr, mr, mi = bytes_to_soa(np.ascontiguousarray(raw).reshape(-1))
+    shape3 = (rows.shape[0], n_pts, harmonics)
+    re, im = bitpack.decode40(
+        jnp.asarray(hdr.reshape(shape3).astype(np.uint32)),
+        jnp.asarray(mr.reshape(shape3).astype(np.uint32)),
+        jnp.asarray(mi.reshape(shape3).astype(np.uint32)), max_exp,
+    )
+    return np.asarray(re), np.asarray(im)
+
+
 @functools.partial(jax.jit, static_argnames=("o_size", "n_steps", "normalized",
                                              "compute"))
 def reconstruct(

@@ -1,28 +1,32 @@
 """Decompose the flat-kernel encode residual (r4 VERDICT #1, the last open codec surface).
 
-r4 left encode at ~63-71% of its measured ~5:1 read-dominated mix ceiling with the
-residual attributed to "per-grid-step fixed cost + the carry/matmul interleave" but not
-measured. This isolates each suspect IN THE SAME RUN (machine state cancels):
+VERDICT r4 left encode at "~63-71% of its mix ceiling, residual unmeasured". The
+variants here isolated it completely (BASELINE.md r5 section records the numbers and
+the full argument). Final finding: the wall is the IN-KERNEL FULL-BLOCK READ — any
+Pallas kernel that moves every input byte through the compute units runs at ~170 GB/s
+(~345 GB/s effective vreg-read rate on top of DMA), while partial-read probes with the
+identical grid/blocks reach ~300 and XLA's elementwise loop ~430. Since a windowed
+projection must contract every sample, ~170 is encode's speed of light on this
+toolchain. The discriminating variants:
 
-- `copy`        : chained XLA elementwise pass — the 1:1 ceiling reference.
-- `mix_exact`   : a Pallas kernel with the encode kernel's EXACT grid and block shapes
-                  (read [kb*o, tile], write [kb*h2, tile], same index maps, same
-                  partial boundary block) but trivial compute — the structural ceiling
-                  for this grid. Gap to the generic 128-row mix probe = block-shape cost.
-- `enc_full`    : production encode_frames_flat (split3 precision).
-- `enc_nomask`  : full minus the OOB row mask (timing-only: boundary block reads
-                  unspecified values) — the mask's VPU pass + iota cost.
-- `enc_nocarry` : full minus the cross-window carry (frame = P1[k]+P2[k], wrong
-                  semantics, same traffic/matmul) — the carry chain's cost: scratch
-                  round trip, per-window where, kb-way unrolled concat.
-- `enc_matmul`  : block-diag matmul only, write the raw projection rows (no carry, no
-                  split, no concat) — everything except the contraction removed.
-- kb/tile sweep on enc_full — fewer, larger grid steps vs per-step fixed cost.
+- `copy` / `mix_generic` / `mix_exact` : DMA-only ceilings (exact structure, but the
+  probe reads only kb*h2 of kb*o rows into vregs).
+- `enc_full/nomask/nocarry/matmul/matmul_discard/tabT` + precision & kb/tile sweeps:
+  every matmul-bearing variant ~160-175 regardless of pass count (1/3/6), result use,
+  orientation, or geometry.
+- `enc_matmul_half` : half-size contraction, unchanged — the full block is read anyway.
+- `enc_fullread` / `enc_fullread_strips` : NO matmul, full read (monolithic / 8-row
+  ref slices) — both ~171-176, nailing the read itself as the wall and ruling out
+  vreg-spill artifacts.
+- `enc_vpu40` (112) and `enc_xla_multireduce` (59) : the no-MXU and no-Pallas escapes,
+  both measured and rejected.
 
-All chained with true serial dependencies, scalar-probe-closed (BASELINE methodology).
-Throughputs are actual bytes moved / time, so every row is comparable to `copy`.
+All chained with true serial dependencies injected through the TINY basis table
+(carrying the series would add a hidden 2S pass per link; loop-invariant kernel args
+would let XLA hoist the kernel and print >ceiling garbage), scalar-probe-closed
+(BASELINE methodology). Throughputs are actual bytes moved / time.
 
-Usage: python tools/bench_encode_residual.py [reps_outer]
+Usage: python tools/bench_encode_residual.py [reps_outer] [rows]
 """
 
 import functools
