@@ -378,17 +378,9 @@ def post_process_output_file(
                     n_ = rows.shape[1] // (2 * h_)
                     c = rows.reshape(rows.shape[0], n_, h_, 2)
                     return c[..., 0], c[..., 1]
-                e = int(attrs["c_max_exp"])
-                n_ = int(rows.shape[1] / (cs * h_))
-                raw = rows.view(np.uint8)[:, : 5 * n_ * h_]
-                hdr, mr, mi = bytes_to_soa(np.ascontiguousarray(raw).reshape(-1))
-                re, im = bitpack.decode40(
-                    jnp.asarray(hdr.reshape(rows.shape[0], n_, h_).astype(np.uint32)),
-                    jnp.asarray(mr.reshape(rows.shape[0], n_, h_).astype(np.uint32)),
-                    jnp.asarray(mi.reshape(rows.shape[0], n_, h_).astype(np.uint32)),
-                    e,
-                )
-                return np.asarray(re), np.asarray(im)
+                from kwave_tpu.decoder import decode_40bit_rows
+
+                return decode_40bit_rows(rows, h_, int(attrs["c_max_exp"]))
 
             n_frames, m_size = series_dims("p" + dn.COMPRESS_SUFFIX)
             blk = max(1, block_size // max(m_size, 1))

@@ -56,6 +56,25 @@ def build_input():
     )
 
 
+def build_input_cuboid():
+    """Cuboid-corner mask variant: the writer's per-cuboid group assembly and the
+    padded 40-bit cuboid rows cross the process boundary (mode 'cuboid')."""
+    import numpy as np
+
+    from kwave_tpu.io.input_file import InputData
+    from kwave_tpu.solver import Grid, Medium
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    corners = np.array([[2, 2, 2, 7, 6, 5], [9, 9, 9, 12, 12, 12]])
+    return InputData(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+        sensor_mask_corners=corners, p0=p0,
+    )
+
+
 def main() -> int:
     rank, nprocs, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     mode = sys.argv[5] if len(sys.argv) > 5 else "single"
@@ -106,9 +125,12 @@ def main() -> int:
         WriterGather.gather = dying_gather
 
     mesh = make_mesh()  # all global devices
-    data = build_input()
+    data = build_input_cuboid() if mode == "cuboid" else build_input()
     flags = dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True)
-    if mode == "legs":
+    if mode == "cuboid":
+        run = RunConfig(flags=flags, period=10.0, harmonics=2, mode40=True)
+        summary = run_simulation(data, run, out, mesh=mesh)
+    elif mode == "legs":
         ckpt = out + ".ckpt.h5"
         run1 = RunConfig(flags=flags, period=10.0, harmonics=2,
                          checkpoint_file=ckpt, checkpoint_interval_steps=20)

@@ -167,3 +167,52 @@ def test_run_simulation_mesh_mxfft_matches_default(mesh, tmp_path):
             a, b = np.asarray(fm[name]), np.asarray(fr[name])
             scale = max(np.abs(b).max(), 1e-30)
             np.testing.assert_allclose(a, b, atol=5e-5 * scale, err_msg=name)
+
+
+def test_cuboid_mask_40bit_on_mesh(tmp_path):
+    """Cuboid-corner sensor masks through the FULL sharded driver (previously
+    only index masks had mesh coverage): per-cuboid groups, padded 40-bit rows,
+    and the writer's cuboid assembly all cross the mesh path. Raw/aggregate
+    outputs match the single-device run; the 40-bit stream matches at DECODED
+    level (per-step requantization amplifies pencil-FFT reassociation noise, so
+    byte equality is not expected)."""
+    import h5py
+
+    from kwave_tpu.decoder import decode_40bit_rows
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io.input_file import InputData
+    from kwave_tpu.parallel import make_mesh
+    from kwave_tpu.solver import Grid, Medium
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    corners = np.array([[2, 2, 2, 7, 6, 5], [9, 9, 9, 12, 12, 12]])
+    data = InputData(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+                     pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+                     sensor_mask_corners=corners, p0=p0)
+    run = RunConfig(flags=dict(p_raw=True, p_c=True, p_rms=True), period=10.0,
+                    harmonics=2, mode40=True)
+    single, meshed = str(tmp_path / "s.h5"), str(tmp_path / "m.h5")
+    run_simulation(data, run, single)
+    run_simulation(data, run, meshed, mesh=make_mesh(4))
+
+    with h5py.File(single) as fa, h5py.File(meshed) as fb:
+        for name in ("p", "p_rms"):
+            for k in fa[name]:
+                a, b = np.asarray(fa[name][k]), np.asarray(fb[name][k])
+                assert a.shape == b.shape
+                err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+                assert err < 2e-5, (name, k, err)
+        for k in fa["p_c"]:
+            a, b = np.asarray(fa["p_c"][k]), np.asarray(fb["p_c"][k])
+            assert a.shape == b.shape
+            h = int(fa["p_c"][k].attrs["c_harmonics"])
+            e = int(fa["p_c"][k].attrs["c_max_exp"])
+            nf = a.shape[-1]
+            ra = decode_40bit_rows(a.reshape(-1, nf), h, e)
+            rb = decode_40bit_rows(b.reshape(-1, nf), h, e)
+            ca, cb = np.stack(ra), np.stack(rb)
+            assert np.abs(ca).max() > 0
+            err = np.abs(ca - cb).max() / np.abs(ca).max()
+            assert err < 1e-3, (k, err)

@@ -373,3 +373,38 @@ def test_cli_multiprocess_launch(tmp_path):
         for name in ("p", "p_c"):
             np.testing.assert_array_equal(np.asarray(fa[name]),
                                           np.asarray(fb[name]), err_msg=name)
+
+
+def test_two_process_cuboid_40bit(tmp_path):
+    """Cuboid-corner mask + 40-bit stream across two processes: per-cuboid
+    group assembly and padded packed rows cross the hardened WriterGather.
+    Output byte-identical to a single-process run on the same 4-device mesh
+    (same partitioning -> same numerics -> same requantized bits)."""
+    out, outs = _spawn_driver_workers(tmp_path, 2, mode="cuboid",
+                                      out_name="mp_cub.h5")
+    for rc, so, se in outs:
+        assert rc == 0, (so[-500:], se[-3000:])
+
+    import h5py
+
+    from tests.mp_driver_worker import build_input_cuboid
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.parallel import make_mesh
+
+    ref = str(tmp_path / "ref_cub.h5")
+    run_simulation(
+        build_input_cuboid(),
+        RunConfig(flags=dict(p_raw=True, p_c=True, p_rms=True, p_max_all=True),
+                  period=10.0, harmonics=2, mode40=True),
+        ref, mesh=make_mesh(4),
+    )
+    with h5py.File(out, "r") as fa, h5py.File(ref, "r") as fb:
+        assert np.asarray(fa["p_max_all"]).shape == np.asarray(fb["p_max_all"]).shape
+        np.testing.assert_array_equal(np.asarray(fa["p_max_all"]),
+                                      np.asarray(fb["p_max_all"]))
+        for name in ("p", "p_c", "p_rms"):
+            for k in fa[name]:
+                a, b = np.asarray(fa[name][k]), np.asarray(fb[name][k])
+                assert a.shape == b.shape, (name, k)
+                np.testing.assert_array_equal(
+                    a.view(np.uint8), b.view(np.uint8), err_msg=f"{name}/{k}")
