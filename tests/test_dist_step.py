@@ -216,3 +216,55 @@ def test_cuboid_mask_40bit_on_mesh(tmp_path):
             assert np.abs(ca).max() > 0
             err = np.abs(ca - cb).max() / np.abs(ca).max()
             assert err < 1e-3, (k, err)
+
+
+def test_nonlinear_all_sources_on_mesh(tmp_path):
+    """The full physics surface on a mesh: nonlinear + heterogeneous absorbing
+    medium with an additive pressure source, a dirichlet velocity source, AND a
+    delayed transducer, through run_simulation — the complete source matrix
+    crossing the sharded step (previously only p0 runs had full-driver mesh
+    coverage)."""
+    import h5py
+
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io.input_file import InputData
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    rng = np.random.default_rng(5)
+    medium = Medium(
+        c0=(1500.0 + 50.0 * rng.random(grid.shape)).astype(np.float32),
+        rho0=(1000.0 + 20.0 * rng.random(grid.shape)).astype(np.float32),
+        bona=6.0, alpha_coeff=0.5, alpha_power=1.5,
+    )
+    t = np.arange(40, dtype=np.float32)
+    mask = np.sort(rng.choice(grid.n_elements, 48, replace=False)).astype(np.int64)
+    data = InputData(
+        grid=grid, medium=medium, nonlinear=True, absorbing=True,
+        pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+        sensor_mask_index=mask,
+        p_source_flag=40, p_source_mode=2,
+        p_source_index=np.array([1000, 2000, 3000]),
+        # file-domain values: the reference injects p_source_input RAW into the
+        # density variables (cudaAddPressureSource, SolverCudaKernels.cu:570-629)
+        # — the MATLAB toolbox pre-scales by ~1/c^2 before writing, so a 10 kPa
+        # drive is ~4e-3 in the file
+        p_source_input=(4e-3 * np.sin(2 * np.pi * t / 10)).astype(np.float32),
+        u_source_index=np.array([1500, 2500]),
+        ux_source_input=(0.005 * np.sin(2 * np.pi * t / 10)).astype(np.float32),
+        ux_source_flag=40, u_source_mode=1,
+        transducer_source_flag=40,
+        transducer_source_input=(0.05 * np.sin(2 * np.pi * t / 8)).astype(np.float32),
+        delay_mask=np.array([0, 3]),
+    )
+    run = RunConfig(flags=dict(p_raw=True, p_c=True, u_raw=True),
+                    period=10.0, harmonics=2)
+    single, meshed = str(tmp_path / "nl_s.h5"), str(tmp_path / "nl_m.h5")
+    run_simulation(data, run, single)
+    run_simulation(data, run, meshed, mesh=make_mesh(8))
+    with h5py.File(single) as fa, h5py.File(meshed) as fb:
+        for name in ("p", "p_c", "ux", "uy", "uz"):
+            a, b = np.asarray(fa[name]), np.asarray(fb[name])
+            assert a.shape == b.shape, name
+            assert np.isfinite(a).all(), f"{name}: unstable config"
+            err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+            assert err < 2e-5, (name, err)
