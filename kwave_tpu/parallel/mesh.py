@@ -88,7 +88,12 @@ def shard_operators(ops: Operators, grid_ndim: int, mesh: Mesh, axis: str = "spa
             return jax.device_put(x, repl)
         if pencil and spec_shape is not None and tuple(np.shape(x)) == spec_shape:
             return jax.device_put(x, spec_sh)
-        if np.ndim(x) == grid_ndim:  # full-grid (real or spectral, z-sharded)
+        if np.ndim(x) == grid_ndim and np.shape(x)[0] % mesh.shape[axis] == 0:
+            # full-grid (real or spectral): z-sharded like the fields. The
+            # divisibility guard keeps grid-ndim BROADCAST vectors — the
+            # nonuniform stretch maps travel as (1,1,nx)/(1,ny,1)/(nz,1,1) —
+            # out of the field rule; the unshardable ones replicate (GSPMD
+            # broadcasts them against sharded fields locally).
             return jax.device_put(x, field_sharding(mesh, grid_ndim, axis))
         return jax.device_put(x, repl)
 

@@ -268,3 +268,49 @@ def test_nonlinear_all_sources_on_mesh(tmp_path):
             assert np.isfinite(a).all(), f"{name}: unstable config"
             err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
             assert err < 2e-5, (name, err)
+
+
+def test_nonuniform_grid_driver_on_mesh(tmp_path):
+    """Non-uniform grid stretch maps (dxudxn + staggered variants) through the
+    FULL driver, single-device vs 8-device mesh — the nonuniform operator fold
+    (make_operators(nonuniform=...)) previously had only solver-level identity
+    coverage and no mesh coverage at all."""
+    import h5py
+
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io import names
+    from kwave_tpu.io.input_file import InputData
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=30)
+    rng = np.random.default_rng(9)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+
+    def stretch(n, seed):
+        # mild smooth perturbation around 1 (a real MATLAB-generated map is
+        # smooth and near-unity)
+        x = np.linspace(0, 2 * np.pi, n, dtype=np.float32)
+        return (1.0 + 0.05 * np.sin(x + seed)).astype(np.float32)
+
+    maps = {
+        names.DXUDXN: stretch(16, 0.0), names.DXUDXN_SGX: stretch(16, 0.3),
+        names.DYUDYN: stretch(16, 1.0), names.DYUDYN_SGY: stretch(16, 1.3),
+        names.DZUDZN: stretch(16, 2.0), names.DZUDZN_SGZ: stretch(16, 2.3),
+    }
+    mask = np.sort(rng.choice(grid.n_elements, 40, replace=False)).astype(np.int64)
+    data = InputData(
+        grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+        pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+        nonuniform=True, nonuniform_maps=maps,
+        sensor_mask_index=mask, p0=p0,
+    )
+    run = RunConfig(flags=dict(p_raw=True, p_rms=True))
+    single, meshed = str(tmp_path / "nu_s.h5"), str(tmp_path / "nu_m.h5")
+    run_simulation(data, run, single)
+    run_simulation(data, run, meshed, mesh=make_mesh(8))
+    with h5py.File(single) as fa, h5py.File(meshed) as fb:
+        for name in ("p", "p_rms"):
+            a, b = np.asarray(fa[name]), np.asarray(fb[name])
+            assert np.isfinite(a).all() and np.abs(a).max() > 0
+            err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+            assert err < 2e-5, (name, err)
