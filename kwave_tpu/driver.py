@@ -405,6 +405,15 @@ def run_simulation(
 
         grid, medium = data.grid, data.medium
         is3d = grid.dim == 3
+        if mesh is not None and not is3d:
+            # the multi-chip path z-shards fields + pencil-decomposes the FFT —
+            # both 3D-only. 2D grids are small (<=512^2 = 1 MB fields) and run
+            # single-device; without this guard the sharding dies in an obscure
+            # device_put divisibility error.
+            raise ValueError(
+                "multi-chip meshes require a 3D grid (z-sharded fields + pencil "
+                "FFT); this input is 2D — run without --devices / mesh"
+            )
 
         flags = dict(run.flags)
         # I_avg/Q_term (raw mode) re-read the stored p / u_non_staggered series from the

@@ -314,3 +314,51 @@ def test_nonuniform_grid_driver_on_mesh(tmp_path):
             assert np.isfinite(a).all() and np.abs(a).max() > 0
             err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
             assert err < 2e-5, (name, err)
+
+
+def test_2d_grid_on_mesh_fails_actionably(tmp_path):
+    """2D + mesh is unsupported by design (z-sharding + pencil FFT are 3D-only;
+    2D grids are tiny) — the driver says so instead of dying in an obscure
+    device_put divisibility error."""
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io.input_file import InputData
+
+    grid = Grid(nx=32, ny=32, nz=1, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=10)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[16, 16] = 1e5
+    data = InputData(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+                     pml_size=(4, 4, 0), pml_alpha=(2.0, 2.0, 0.0),
+                     sensor_mask_index=np.arange(10, dtype=np.int64), p0=p0)
+    with pytest.raises(ValueError, match="3D grid.*2D"):
+        run_simulation(data, RunConfig(flags=dict(p_raw=True)),
+                       str(tmp_path / "x.h5"), mesh=make_mesh(8))
+
+
+def test_sampling_start_on_mesh(tmp_path):
+    """-s (sampling_start) on a mesh: the lead-in program, shifted window
+    boundaries, and the trailing partial window all run sharded and match the
+    single-device run."""
+    import h5py
+
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io.input_file import InputData
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    mask = np.sort(np.random.default_rng(4).choice(grid.n_elements, 40,
+                                                   replace=False))
+    data = InputData(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+                     pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+                     sensor_mask_index=mask, p0=p0)
+    run = RunConfig(flags=dict(p_raw=True, p_c=True), period=10.0, harmonics=2,
+                    sampling_start=7)
+    single, meshed = str(tmp_path / "ss_s.h5"), str(tmp_path / "ss_m.h5")
+    run_simulation(data, run, single)
+    run_simulation(data, run, meshed, mesh=make_mesh(8))
+    with h5py.File(single) as fa, h5py.File(meshed) as fb:
+        for name in ("p", "p_c"):
+            a, b = np.asarray(fa[name]), np.asarray(fb[name])
+            assert a.shape == b.shape and a.shape[1] in (33, 3)
+            err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+            assert err < 2e-5, (name, err)
