@@ -362,3 +362,51 @@ def test_sampling_start_on_mesh(tmp_path):
             assert a.shape == b.shape and a.shape[1] in (33, 3)
             err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
             assert err < 2e-5, (name, err)
+
+
+def test_many_signal_sources(tmp_path):
+    """Per-point source columns (p_source_many, CommandLineParameters' u/p_source_many
+    file flags) — previously untested anywhere: (a) many=True with identical
+    columns is bit-identical to the single-signal path; (b) distinct per-point
+    columns match between mesh and single-device."""
+    import h5py
+
+    from kwave_tpu.driver import RunConfig, run_simulation
+    from kwave_tpu.io.input_file import InputData
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    rng = np.random.default_rng(2)
+    mask = np.sort(rng.choice(grid.n_elements, 40, replace=False)).astype(np.int64)
+    t = np.arange(40, dtype=np.float32)
+    sig = (4e-3 * np.sin(2 * np.pi * t / 10)).astype(np.float32)
+    idx = np.array([1000, 2000, 3000])
+    base = dict(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+                pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+                sensor_mask_index=mask)
+    run = RunConfig(flags=dict(p_raw=True))
+
+    a_path, b_path = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+    run_simulation(InputData(**base, p_source_flag=40, p_source_mode=2,
+                             p_source_index=idx, p_source_input=sig),
+                   run, a_path)
+    run_simulation(InputData(**base, p_source_flag=40, p_source_mode=2,
+                             p_source_index=idx,
+                             p_source_input=np.stack([sig] * 3),
+                             p_source_many=True),
+                   run, b_path)
+    with h5py.File(a_path) as fa, h5py.File(b_path) as fb:
+        np.testing.assert_array_equal(np.asarray(fa["p"]), np.asarray(fb["p"]))
+        assert np.abs(np.asarray(fa["p"])).max() > 0
+
+    sigs = np.stack([sig, 0.5 * sig,
+                     (4e-3 * np.cos(2 * np.pi * t / 10)).astype(np.float32)])
+    data = InputData(**base, p_source_flag=40, p_source_mode=2,
+                     p_source_index=idx, p_source_input=sigs,
+                     p_source_many=True)
+    s_path, m_path = str(tmp_path / "s.h5"), str(tmp_path / "m.h5")
+    run_simulation(data, run, s_path)
+    run_simulation(data, run, m_path, mesh=make_mesh(8))
+    with h5py.File(s_path) as fa, h5py.File(m_path) as fb:
+        a, b = np.asarray(fa["p"]), np.asarray(fb["p"])
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 2e-5, err
