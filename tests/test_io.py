@@ -310,3 +310,36 @@ class TestInputHeaderValidation:
         )
         data = read_input_file(path)
         assert data.grid.nx == 16
+
+
+def test_compression_level_gzip_outputs(tmp_path):
+    """-c N: output datasets are gzip-deflated at the requested level with
+    identical contents (Hdf5File::createDataset compression parity — the '≤
+    reference size' acceptance depends on matching deflate behavior)."""
+    from kwave_tpu.driver import RunConfig, run_simulation
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    mask = np.sort(np.random.default_rng(3).choice(grid.n_elements, 40,
+                                                   replace=False))
+    data = InputData(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+                     pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
+                     sensor_mask_index=mask.astype(np.int64), p0=p0)
+    plain, packed = str(tmp_path / "c0.h5"), str(tmp_path / "c6.h5")
+    run_simulation(data, RunConfig(flags=dict(p_raw=True, p_c=True),
+                                   period=10.0, harmonics=2), plain)
+    run_simulation(data, RunConfig(flags=dict(p_raw=True, p_c=True),
+                                   period=10.0, harmonics=2,
+                                   compression_level=6), packed)
+    with h5py.File(plain) as f0, h5py.File(packed) as f6:
+        for name in ("p", "p_c"):
+            assert f0[name].compression is None
+            assert f6[name].compression == "gzip"
+            assert f6[name].compression_opts == 6
+            np.testing.assert_array_equal(np.asarray(f0[name]),
+                                          np.asarray(f6[name]), err_msg=name)
+        # waveform data is compressible -> deflated dataset storage shrinks
+        # (file-level size is metadata-dominated at this fixture size)
+        assert (f6["p"].id.get_storage_size()
+                < f0["p"].id.get_storage_size())
