@@ -19,8 +19,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax.numpy as jnp  # noqa: E402
-
 from kwave_tpu import decoder  # noqa: E402
 from kwave_tpu.basis import generate_basis  # noqa: E402
 from kwave_tpu.driver import RunConfig, run_simulation  # noqa: E402
@@ -86,24 +84,22 @@ def main(workdir: str | None = None) -> int:
     h = int(attrs["c_harmonics"])
     assert attrs["c_period"] == np.float32(period) and h == harmonics
 
-    # frames [Nc, mSize=2*H*Nsens interleaved re/im] -> [K, 2H, N] packed layout
+    # frames [Nc, mSize=2*H*Nsens interleaved re/im] -> [Nc, H, N] re/im planes,
+    # then the public convenience wrapper does the basis synthesis
     coeffs = pc.reshape(pc.shape[0], n_sens, h, 2)
-    frames = np.concatenate([coeffs[..., 0], coeffs[..., 1]], axis=2)  # re|im
-    frames = np.transpose(frames, (0, 2, 1))  # [K, 2H, N]
+    f_re = np.transpose(coeffs[..., 0], (0, 2, 1))  # [Nc, H, N]
+    f_im = np.transpose(coeffs[..., 1], (0, 2, 1))
 
     cb = generate_basis(period, 1, harmonics, normalize=True)
     o = cb.o_size
-    be_re, be_im, _, _ = cb.tables(False)
-    tab_re = jnp.asarray(be_re[:, : 2 * o].T)
-    tab_im = jnp.asarray(be_im[:, : 2 * o].T)
-    rec = np.asarray(decoder.reconstruct_frames(
-        jnp.asarray(frames), tab_re, tab_im, o, raw.shape[0]))
+    rec = np.asarray(decoder.reconstruct_series(f_re, f_im, cb, False,
+                                                raw.shape[0]))
 
     # -- 4. Verify: reconstruction matches the raw recording -------------------
     # interior steps only (the first/last window are partially covered by design)
     # compare the steady-state half of the record: the arrival transient at each
     # sensor is broadband (ramp-up) and is not what the tonal codec encodes
-    steps = frames.shape[0] * o
+    steps = f_re.shape[0] * o
     lo, hi = steps // 2, steps - 2 * o
     scale = np.abs(raw[lo:hi]).max()
     err = np.abs(rec[lo:hi] - raw[lo:hi]).max() / scale

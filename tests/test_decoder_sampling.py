@@ -161,12 +161,13 @@ def test_decode_40bit_rows_detects_corruption():
         by = soa_to_bytes(hdr.reshape(-1), mr.reshape(-1), mi.reshape(-1))
         rows[c].view(np.uint8)[: by.size] = by
 
-    re0, im0 = decode_40bit_rows(rows, 2, basis.max_exp if hasattr(basis, "max_exp")
-                                 else 138)
+    from kwave_tpu.basis import MAX_EXP_P  # what OracleEncoder(mode40) encodes with
+
+    re0, im0 = decode_40bit_rows(rows, 2, MAX_EXP_P)
     assert np.abs(re0).max() > 0
     bad = rows.copy()
     bad.view(np.uint8)[1, 7] ^= 0x41  # one flipped byte mid-stream
-    re1, im1 = decode_40bit_rows(bad, 2, 138)
+    re1, im1 = decode_40bit_rows(bad, 2, MAX_EXP_P)
     diff = max(np.abs(re1 - re0).max(), np.abs(im1 - im0).max())
     scale = np.abs(np.stack([re0, im0])).max()
     assert diff / scale > 1e-3, "corruption must exceed the dryrun tolerance"

@@ -178,19 +178,13 @@ def test_cuboid_mask_40bit_on_mesh(tmp_path):
     byte equality is not expected)."""
     import h5py
 
+    from tests.mp_driver_worker import build_input_cuboid
     from kwave_tpu.decoder import decode_40bit_rows
     from kwave_tpu.driver import RunConfig, run_simulation
-    from kwave_tpu.io.input_file import InputData
     from kwave_tpu.parallel import make_mesh
-    from kwave_tpu.solver import Grid, Medium
 
-    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=40)
-    p0 = np.zeros(grid.shape, np.float32)
-    p0[8, 8, 8] = 1e5
-    corners = np.array([[2, 2, 2, 7, 6, 5], [9, 9, 9, 12, 12, 12]])
-    data = InputData(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
-                     pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3,
-                     sensor_mask_corners=corners, p0=p0)
+    # the SAME fixture the 2-process cuboid test runs (single source of truth)
+    data = build_input_cuboid()
     run = RunConfig(flags=dict(p_raw=True, p_c=True, p_rms=True), period=10.0,
                     harmonics=2, mode40=True)
     single, meshed = str(tmp_path / "s.h5"), str(tmp_path / "m.h5")
