@@ -237,3 +237,31 @@ def test_p0_peel_matches_cond_path():
                 err_msg=f"{f} before t={t}")
         s_cond = step(s_cond, jnp.int32(t), ops, src, cfg)
         s_peel = step(s_peel, jnp.int32(t), ops, src, cfg_peeled)
+
+
+def test_velocity_source_axis_symmetry():
+    """Axis-permutation invariance: on a uniform cubic medium, a uy (uz) point
+    source at the center must produce the x<->y (x<->z) transposed field of the
+    ux run — a wiring guard for the per-axis staggered source paths (uy/uz had
+    no direct coverage; an axis mix-up in the staggered shifts or rho0_sg
+    selection breaks this at O(1), while correct physics agrees to fp level)."""
+    n = 24
+    grid = Grid(nx=n, ny=n, nz=n, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=30)
+    ops = make_operators(grid, Medium(c0=1500.0, rho0=1000.0), (4, 4, 4),
+                         (2.0,) * 3)
+    c = n // 2
+    idx = np.array([(c * n + c) * n + c])
+    sig = (0.01 * np.sin(2 * np.pi * np.arange(30) / 8)).astype(np.float32)
+
+    def run(axis):
+        cfg = SolverConfig(u_source_flag=30, u_source_mode=1)
+        src = Sources(u_index=jnp.asarray(idx),
+                      **{f"u{axis}_signal": jnp.asarray(sig)})
+        st, _ = simulate(init_state(grid), ops, src, cfg, 30)
+        return np.asarray(st.p)
+
+    px, py, pz = run("x"), run("y"), run("z")
+    scale = np.abs(px).max()
+    assert scale > 0
+    assert np.abs(py - px.transpose(0, 2, 1)).max() / scale < 1e-5
+    assert np.abs(pz - px.transpose(2, 1, 0)).max() / scale < 1e-5
