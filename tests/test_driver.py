@@ -265,3 +265,37 @@ def test_detected_period_cached_in_input_file(tmp_path):
         assert drv.detect_period(data2, run) == 10.0
     finally:
         drv.find_period = orig
+
+
+def test_cuboid_equals_index_mask_same_points(tmp_path):
+    """Cross-subsystem invariant: a cuboid mask and an index mask covering the
+    SAME points (in cuboid scan order) produce bit-identical sampled data in
+    raw, aggregate, and coefficient streams — only the HDF5 layout differs
+    (IndexOutputStream vs CuboidOutputStream parity)."""
+    import h5py
+
+    from kwave_tpu.driver import _corners_to_indices
+
+    grid = Grid(nx=16, ny=16, nz=16, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=30)
+    p0 = np.zeros(grid.shape, np.float32)
+    p0[8, 8, 8] = 1e5
+    corners = np.array([[2, 3, 4, 6, 7, 8]])  # one 5x5x5 cuboid
+    idx = _corners_to_indices(corners, grid).astype(np.int64)
+    base = dict(grid=grid, medium=Medium(c0=1500.0, rho0=1000.0),
+                pml_size=(4, 4, 4), pml_alpha=(2.0,) * 3, p0=p0)
+    run = RunConfig(flags=dict(p_raw=True, p_rms=True, p_c=True),
+                    period=10.0, harmonics=2)
+    cub, ind = str(tmp_path / "cub.h5"), str(tmp_path / "idx.h5")
+    run_simulation(InputData(**base, sensor_mask_corners=corners), run, cub)
+    run_simulation(InputData(**base, sensor_mask_index=idx), run, ind)
+    h = 2
+    with h5py.File(cub) as fc, h5py.File(ind) as fi:
+        np.testing.assert_array_equal(
+            np.asarray(fc["p"]["1"]).reshape(30, -1), np.asarray(fi["p"])[0])
+        np.testing.assert_array_equal(
+            np.asarray(fc["p_rms"]["1"]).reshape(-1),
+            np.asarray(fi["p_rms"]).reshape(-1))
+        cc = np.asarray(fc["p_c"]["1"])  # [Nc, cz, cy, cx*2H]
+        ci = np.asarray(fi["p_c"])[0]    # [Nc, N*2H]
+        np.testing.assert_array_equal(cc.reshape(cc.shape[0], -1, 2 * h),
+                                      ci.reshape(ci.shape[0], -1, 2 * h))
