@@ -237,6 +237,12 @@ def pack_frame_wire(hdr: jax.Array, mr: jax.Array, mi: jax.Array) -> jax.Array:
     (encoder.frames_to_flat_40b), padding to the 4-coefficient group size of
     `pack_words`. The true payload is the first ``5*N*H`` bytes of the
     little-endian word stream (`frame_wire_bytes`)."""
+    if hdr.ndim != 2:
+        raise ValueError(
+            f"pack_frame_wire packs ONE [H, N] frame; got ndim={hdr.ndim} "
+            "(pack multi-frame [C, H, N] emissions one frame at a time so the "
+            "per-frame padding stays at each frame's tail)"
+        )
     h_t = jnp.swapaxes(hdr, -2, -1).reshape(-1)  # [N*H] point-major
     r_t = jnp.swapaxes(mr, -2, -1).reshape(-1)
     i_t = jnp.swapaxes(mi, -2, -1).reshape(-1)
@@ -250,8 +256,17 @@ def pack_frame_wire(hdr: jax.Array, mr: jax.Array, mi: jax.Array) -> jax.Array:
 
 def frame_wire_bytes(words, n_coeffs: int):
     """Host-side inverse of `pack_frame_wire`: words -> the frame's 5-byte/coeff
-    stream (numpy uint8 of length ``5*n_coeffs``)."""
+    stream (numpy uint8 of length ``5*n_coeffs``). Fails loudly when the packed
+    payload does not cover the expected coefficient count (a silent short read
+    would write truncated bytes into the output dataset)."""
     import numpy as np
 
     raw = np.frombuffer(words_to_bytes(words), np.uint8)
-    return raw[: 5 * n_coeffs]
+    need = 5 * n_coeffs
+    if raw.size < need or raw.size >= need + 20:  # 20 B = one 4-coeff pad group
+        raise ValueError(
+            f"packed frame holds {raw.size} bytes but the writer expects "
+            f"{need} (= 5 x {n_coeffs} coefficients) — emission/writer config "
+            "mismatch"
+        )
+    return raw[:need]

@@ -928,10 +928,7 @@ def run_simulation(
                     stream_states[s.name], ecfg
                 )
                 partial[s.name] = frame
-            streams_mod.accumulate_iavg_from_frames(stream_states, partial, specs)
-            # pack AFTER the intensity pass consumed the SoA planes (wire-format
-            # words cut the fetch/DCN bytes 2.4x — streams.pack_40bit_emissions)
-            streams_mod.pack_40bit_emissions(partial, specs)
+            streams_mod.finalize_emissions(stream_states, partial, specs)
             partial = _host(partial)
             if writer is not None:
                 writer.flush_emissions(partial)

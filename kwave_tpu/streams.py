@@ -207,7 +207,9 @@ def process_chunk(
     emit: bool = True,
 ) -> tuple[dict[str, Any], dict[str, Any]]:
     """Advance all streams by one aligned oSize window. Returns (states, emissions):
-    emissions[name] = raw rows [o, N] | coefficient frame (re, im)/(hdr, mr, mi) | None.
+    emissions[name] = raw rows [o, N] | coefficient frame — float mode (re, im)
+    planes, 40-bit mode ONE wire-format uint32 word array (pack_40bit_emissions;
+    unpacked with bitpack.frame_wire_bytes) | None.
 
     Aggregate folds consume the whole chunk at once (the reference folds per step,
     OutputStreamsCudaKernels.cu:83-107 — associative, so window-batched here).
@@ -261,9 +263,20 @@ def process_chunk(
     # streams just emitted (one per window) — IndexOutputStream::postSample semantics,
     # IndexOutputStream.cpp:299-342 (incl. the 40-bit decode of the packed partners)
     if emit:
-        accumulate_iavg_from_frames(new_states, out, specs)
-        pack_40bit_emissions(out, specs)
+        finalize_emissions(new_states, out, specs)
     return new_states, out
+
+
+def finalize_emissions(
+    states: dict[str, Any], emissions: dict[str, Any], specs: list[StreamSpec]
+) -> None:
+    """The per-frame post pass in its REQUIRED order, as one call (mutates both
+    dicts in place): intensity accumulation consumes the SoA coefficient planes
+    (postSample), THEN the 40-bit frames are packed to wire words for transport.
+    Every emission producer (window loop, tiny-record partial) goes through this
+    single helper so the ordering invariant lives in exactly one place."""
+    accumulate_iavg_from_frames(states, emissions, specs)
+    pack_40bit_emissions(emissions, specs)
 
 
 def pack_40bit_emissions(emissions: dict[str, Any], specs: list[StreamSpec]) -> None:
