@@ -265,3 +265,43 @@ def test_velocity_source_axis_symmetry():
     assert scale > 0
     assert np.abs(py - px.transpose(0, 2, 1)).max() / scale < 1e-5
     assert np.abs(pz - px.transpose(2, 1, 0)).max() / scale < 1e-5
+
+
+def test_acoustic_reciprocity():
+    """Acoustic reciprocity: in a lossless homogeneous medium the recorded
+    pressure is invariant under source<->receiver exchange (G(A->B) = G(B->A)).
+    A physics-level validation of the coupled update equations as a whole —
+    the k-Wave ecosystem gets this class of check only via external MATLAB
+    cross-validation (SURVEY §4); here it is a unit test."""
+    import functools
+
+    import jax
+
+    from kwave_tpu.solver.step import step as one_step
+
+    n = 32
+    grid = Grid(nx=n, ny=n, nz=n, dx=1e-4, dy=1e-4, dz=1e-4, dt=2e-8, nt=60)
+    ops = make_operators(grid, Medium(c0=1500.0, rho0=1000.0), (6, 6, 6),
+                         (2.0,) * 3, need_source_kappa=True)
+    a_idx = (10 * n + 12) * n + 14
+    b_idx = (20 * n + 18) * n + 22
+    sig = (4e-3 * np.sin(2 * np.pi * np.arange(60) / 12)
+           * np.hanning(60)).astype(np.float32)
+    cfg = SolverConfig(p_source_flag=60, p_source_mode=2)  # additive
+    stepper = jax.jit(functools.partial(one_step, cfg=cfg))
+
+    def record(src_idx, rec_idx):
+        src = Sources(p_index=jnp.asarray(np.array([src_idx])),
+                      p_signal=jnp.asarray(sig))
+        st = init_state(grid)
+        vals = []
+        for t in range(60):
+            st = stepper(st, jnp.int32(t), ops, src)
+            vals.append(float(st.p.reshape(-1)[rec_idx]))
+        return np.array(vals)
+
+    ab = record(a_idx, b_idx)
+    ba = record(b_idx, a_idx)
+    scale = np.abs(ab).max()
+    assert scale > 0
+    assert np.abs(ab - ba).max() / scale < 1e-4
